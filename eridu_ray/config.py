@@ -1,0 +1,72 @@
+"""Pipeline configuration.
+
+The reference passes config through ~25 environment variables written by the
+CLI and read at import time (reference: eridu/cli/main.py:477-507,
+eridu/train/fine_tune_sbert.py:54-117).  The new engine replaces that channel
+with one explicit dataclass handed to pipeline builders; every random /
+hashed quantity (minhash permutations, band salts, synthetic mutations) is
+derived from the single ``seed`` so runs are reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- determinism (reference seeds 31337/42: fine_tune_sbert.py:54-58) ---
+    seed: int = 31337
+
+    # --- signature config (authoritative per BASELINE.md target table) ---
+    shingle_k: int = 5          # char-5-gram shingles
+    num_perms: int = 128        # 128-permutation MinHash
+    lsh_bands: int = 16         # b=16
+    lsh_rows: int = 8           # r=8  (b*r must equal num_perms)
+    simhash_bits: int = 64      # 64-bit SimHash near-exact fallback
+    simhash_max_hamming: int = 3
+
+    # --- thresholds ---
+    dup_jaccard: float = 0.80       # exact-Jaccard >= this => duplicate edge
+    borderline_jaccard: float = 0.60  # [borderline, dup) => scorer refinement
+    scorer_threshold: float = 0.90    # stub/SBERT cosine >= this => edge
+
+    # --- substring (long shared span) stage ---
+    winnow_window: int = 64     # guarantee: shared span >= window+k-1 chars
+    min_shared_span: int = 200  # chars; spans >= this create substring edges
+
+    # --- skew / scale knobs ---
+    band_group_cap: int = 256   # max docs per LSH bucket before star-fallback
+    max_cc_rounds: int = 16     # label propagation hard cap (log-diameter)
+    batch_size: int = 2048      # rows per map_batches batch in hot stages
+    scorer_batch_size: int = 1024
+    num_partitions: int = 32    # hash-join / shuffle partition count
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None  # None => no checkpoints
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of everything that affects results (not layout knobs).
+
+        Used to validate checkpoints: a checkpoint written under a different
+        semantic config must not be resumed from.
+        """
+        d = asdict(self)
+        # layout/perf knobs don't change results
+        for k in ("batch_size", "scorer_batch_size", "num_partitions",
+                  "checkpoint_dir"):
+            d.pop(k)
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,150 @@
+"""Text kernels: extraction, normalization, language-ID, quality, tokens.
+
+``extract_text`` is the trafilatura-style main-content extractor of the
+flagship pipeline.  Contract (BASELINE.md): for every url,
+``extract_text(html) == text`` byte-for-byte, where html/text come from the
+deterministic page generator (eridu_ray/sources/synth.py) — the generator
+and extractor share the same markup convention, and the unit tests assert
+the round trip per url.
+
+Normalization mirrors the reference's name-normalization role
+(eridu/etl/disco.py:81 basename stripping; eridu/etl/acronyms.py:16-32):
+for web pages the analog is unicode NFC + casefold + whitespace collapse
+before shingling.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+import unicodedata
+
+import numpy as np
+
+# --- extraction -----------------------------------------------------------
+
+_MAIN_RE = re.compile(rb"<main>(.*?)</main>", re.DOTALL)
+
+
+def render_html(text: str, title: str = "", boiler: str = "") -> bytes:
+    """Deterministic page markup wrapping ``text`` (generator side)."""
+    body = _htmllib.escape(text, quote=False)
+    return (
+        "<html><head><title>{}</title></head><body>"
+        "<nav class=\"chrome\">{}</nav><main>{}</main>"
+        "<footer>{}</footer></body></html>"
+    ).format(_htmllib.escape(title, quote=False), boiler, body, boiler).encode("utf-8")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Main-content extraction; inverse of :func:`render_html` per url."""
+    m = _MAIN_RE.search(html_bytes)
+    if m is None:
+        return ""
+    return _htmllib.unescape(m.group(1).decode("utf-8", errors="replace"))
+
+
+# --- normalization --------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text(text: str) -> str:
+    """NFC + casefold + whitespace collapse; canonical form for shingling."""
+    t = unicodedata.normalize("NFC", text).casefold()
+    return _WS_RE.sub(" ", t).strip()
+
+
+# --- language ID (n-gram/script heuristic; no external models) ------------
+
+# tiny per-language stopword profiles (latin scripts) + script ranges
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu",
+           "für"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+}
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def detect_language(text: str, max_chars: int = 2000) -> str:
+    """Heuristic language ID: script detection, then stopword profiles.
+
+    Returns an ISO-639-1 code or "und".  Covers the scripts/langs present
+    in the synthetic corpora (en/de/es/fr latin + ru cyrillic + zh han),
+    mirroring the reference's lang-pair reporting (eridu/etl/report.py:68-71).
+    """
+    sample = text[:max_chars]
+    if not sample:
+        return "und"
+    cyr = han = 0
+    for ch in sample:
+        o = ord(ch)
+        if 0x0400 <= o <= 0x04FF:
+            cyr += 1
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            han += 1
+    n = len(sample)
+    if han > 0.05 * n:
+        return "zh"
+    if cyr > 0.25 * n:
+        return "ru"
+    words = [w.lower() for w in _WORD_RE.findall(sample)]
+    if not words:
+        return "und"
+    best, best_score = "und", 0.0
+    for lang, stops in _STOPWORDS.items():
+        score = sum(1 for w in words if w in stops) / len(words)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0.0 else "und"
+
+
+# --- quality scoring ------------------------------------------------------
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish subword split: letter runs, digit runs, single punctuation marks
+_BPE_RE = re.compile(r"[^\W\d_]+|\d+|[^\w\s]", re.UNICODE)
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish token count (letter runs / digit runs / punct marks)."""
+    return len(_BPE_RE.findall(text))
+
+
+def quality_features(text: str) -> dict:
+    """Document quality features: lengths, punctuation and stopword ratios.
+
+    Mirrors classic web-corpus quality filters; per-feature semantics are
+    SQL-expressible so the DuckDB oracle can verify n_chars/n_tokens/ratios.
+    """
+    n_chars = len(text)
+    toks = _TOKEN_RE.findall(text)
+    n_tokens = len(toks)
+    n_punct = len(_PUNCT_RE.findall(text))
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    n_stop = sum(1 for w in words if w in _STOPWORDS["en"])
+    mean_tok = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / len(words)) if words else 0.0,
+        "mean_token_len": mean_tok,
+    }
+
+
+# --- fingerprinting -------------------------------------------------------
+
+def content_md5(text: str) -> str:
+    """Hex MD5 of the utf-8 text — matches DuckDB ``md5(text)``."""
+    import hashlib
+
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
