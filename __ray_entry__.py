@@ -20,8 +20,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    Synthesizes the Common-Crawl-style pages table (url, warc_ts, html,
+    text, lang) deterministically from the sf0.001 documents table, runs the
+    full near-dup detection + clustering pipeline, returns the label table.
+    """
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.sources.synth import synthesize_corpus
+
+    cfg = PipelineConfig(num_partitions=8)
+    info = synthesize_corpus("/root/testdata/sf0.001", "/tmp/eridu_cache",
+                             cfg)
+    pages = rd.read_parquet(info["pages"])
+    res = run_dedup(pages, cfg)
+    return res.labels
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

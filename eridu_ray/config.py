@@ -42,6 +42,7 @@ class PipelineConfig:
     max_cc_rounds: int = 16     # label propagation hard cap (log-diameter)
     batch_size: int = 2048      # rows per map_batches batch in hot stages
     scorer_batch_size: int = 1024
+    scorer_concurrency: tuple = (1, 8)  # actor-pool size (min, max)
     num_partitions: int = 32    # hash-join / shuffle partition count
 
     # --- checkpointing ---
@@ -62,8 +63,8 @@ class PipelineConfig:
         """
         d = asdict(self)
         # layout/perf knobs don't change results
-        for k in ("batch_size", "scorer_batch_size", "num_partitions",
-                  "checkpoint_dir"):
+        for k in ("batch_size", "scorer_batch_size", "scorer_concurrency",
+                  "num_partitions", "checkpoint_dir"):
             d.pop(k)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

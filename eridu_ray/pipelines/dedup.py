@@ -1,0 +1,252 @@
+"""Flagship near-duplicate detection + clustering pipeline (SURVEY.md §7.1).
+
+    pages ─ map_batches(SignatureStage) ─► signatures          [checkpoint]
+      signatures ─ groupby(chash) ─► exact star edges + representatives
+      reps ─ BandExploder ─ groupby(band_key)      ─► minhash candidates
+      reps ─ SimhashChunkExploder ─ groupby(chunk) ─► simhash candidates
+      reps ─ WinnowExploder ─ groupby(fp_key)      ─► span candidates
+      ∪ candidates ─ groupby(node_a,node_b) dedup ─ join shingles ×2
+        ─ exact Jaccard ─► verified                            [checkpoint]
+      dup edges (J >= t) ∪ exact edges ∪ scorer edges ─► edges [checkpoint]
+      span candidates (J < t) ─ join text ×2 ─ LCS ─► span_edges
+      edges ─ label propagation to fixpoint ─► labels          [checkpoint]
+      labels ∪ singletons ─ relabel by min url ─► components
+
+Every stage is a Dataset transform; the driver holds only config, manifests
+and small aggregates.  All shuffles are keyed on int64 hashes; skewed
+buckets are capped with the star fallback (candidates.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.stages import candidates as cand
+from eridu_ray.stages.components import label_propagation, relabel_by_min_url
+from eridu_ray.stages.scorer import PairScorer
+from eridu_ray.stages.signatures import SignatureStage
+from eridu_ray.stages.verify import attach_shingles, jaccard_batch
+from eridu_ray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class DedupResult:
+    signatures: "ray.data.Dataset"
+    verified: "ray.data.Dataset"       # candidate pairs + exact jaccard
+    edges: "ray.data.Dataset"          # (node_a, node_b, url_a, url_b, src)
+    span_edges: "ray.data.Dataset"     # long-shared-span pairs
+    labels: "ray.data.Dataset"         # (url, component, component_size)
+    counters: dict = field(default_factory=dict)
+
+
+def compute_signatures(pages, cfg: PipelineConfig):
+    # bound instance in a closure: stateless elastic tasks (the per-task
+    # state — 128 minhash params — is tiny; the heavyweight actor pool is
+    # reserved for the model-bearing scorer stage)
+    stage = SignatureStage(cfg)
+    return pages.map_batches(
+        lambda b: stage(b),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def run_dedup(pages, cfg: PipelineConfig | None = None,
+              use_scorer_edges: bool = False) -> DedupResult:
+    """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
+
+    With ``cfg.checkpoint_dir`` set, signatures / verified / edges / labels
+    are committed as Parquet checkpoints and a rerun resumes from the last
+    completed stage (identical results — see tests/test_resume.py).
+    """
+    cfg = cfg or PipelineConfig()
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.config_hash())
+
+    signatures = ckpt.stage(
+        "signatures", lambda: compute_signatures(pages, cfg),
+        lineage={"input": "pages"})
+    if cfg.checkpoint_dir is None:
+        signatures = signatures.materialize()
+
+    # --- exact dedup + representative selection (one shuffle) ------------
+    tagged = signatures.groupby("chash").map_groups(
+        cand.exact_groups_fn, batch_format="pyarrow")
+    if cfg.checkpoint_dir is None:
+        tagged = tagged.materialize()
+    else:
+        tagged = ckpt.stage("exact_tagged", lambda: tagged)
+    reps = tagged.filter(expr="is_rep == True")
+    exact_edges = (tagged.filter(expr="is_rep == False")
+                   .map_batches(_exact_edge_batch, batch_format="pyarrow"))
+
+    # --- candidate generation (three bucketed paths over reps) -----------
+    sig_reps = reps.filter(expr="n_shingles > 0")
+    band_explode = cand.BandExploder(cfg)
+    sim_explode = cand.SimhashChunkExploder(cfg)
+    win_explode = cand.WinnowExploder(cfg)
+    minhash_cands = (sig_reps
+                     .map_batches(lambda b: band_explode(b),
+                                  batch_format="pyarrow",
+                                  batch_size=cfg.batch_size)
+                     .groupby("band_key")
+                     .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
+                                 batch_format="pyarrow"))
+    simhash_cands = (sig_reps
+                     .map_batches(lambda b: sim_explode(b),
+                                  batch_format="pyarrow",
+                                  batch_size=cfg.batch_size)
+                     .groupby("chunk_key")
+                     .map_groups(cand.make_simhash_pairs_fn(
+                         cfg.band_group_cap, cfg.simhash_max_hamming),
+                         batch_format="pyarrow"))
+    winnow_cands = (sig_reps
+                    .map_batches(lambda b: win_explode(b),
+                                 batch_format="pyarrow",
+                                 batch_size=cfg.batch_size)
+                    .groupby("fp_key")
+                    .map_groups(cand.make_winnow_pairs_fn(
+                        cfg.band_group_cap), batch_format="pyarrow"))
+
+    all_cands = (minhash_cands.union(simhash_cands).union(winnow_cands)
+                 .groupby(["node_a", "node_b"])
+                 .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+
+    # --- exact-Jaccard verification (2 hash joins on node id) ------------
+    def build_verified():
+        with_sets = attach_shingles(all_cands, signatures, cfg)
+        return with_sets.map_batches(jaccard_batch, batch_format="pyarrow",
+                                     batch_size=cfg.batch_size)
+
+    verified = ckpt.stage("verified", build_verified)
+    if cfg.checkpoint_dir is None:
+        verified = verified.materialize()
+
+    dup_pairs = verified.filter(
+        expr=f"jaccard >= {cfg.dup_jaccard}").select_columns(
+        ["node_a", "node_b", "url_a", "url_b", "src"])
+
+    # --- borderline refinement (actor-pool scorer) ------------------------
+    borderline = verified.filter(
+        expr=f"jaccard >= {cfg.borderline_jaccard} and "
+             f"jaccard < {cfg.dup_jaccard}")
+    scored = (attach_shingles(borderline, signatures, cfg)
+              .map_batches(PairScorer, fn_constructor_args=(cfg,),
+                           batch_format="pyarrow",
+                           batch_size=cfg.scorer_batch_size,
+                           concurrency=cfg.scorer_concurrency))
+    scorer_edges = scored.filter(
+        expr=f"similarity >= {cfg.scorer_threshold}").select_columns(
+        ["node_a", "node_b", "url_a", "url_b", "src"])
+
+    edge_parts = [exact_edges, dup_pairs]
+    if use_scorer_edges:
+        edge_parts.append(scorer_edges)
+    edges_all = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges_all = edges_all.union(p)
+    edges = ckpt.stage("edges", lambda: edges_all)
+    if cfg.checkpoint_dir is None:
+        edges = edges.materialize()
+
+    # --- substring (long-shared-span) stage -------------------------------
+    span_cands = verified.filter(expr=f"jaccard < {cfg.dup_jaccard}")
+    span_edges = _verify_spans(span_cands, signatures, cfg)
+
+    # --- connected components + canonical labels -------------------------
+    def build_labels():
+        cc = label_propagation(
+            edges.select_columns(["node_a", "node_b"]), cfg)
+        nodes = signatures.select_columns(["url", "node_id"])
+        joined = nodes.join(cc, join_type="left_outer",
+                            num_partitions=cfg.num_partitions,
+                            on=("node_id",), right_on=("node",))
+        clustered = joined.filter(expr="is_valid(label)")
+        singles = (joined.map_batches(_keep_null_label,
+                                      batch_format="pyarrow")
+                   .map_batches(_singleton_label_batch,
+                                batch_format="pyarrow"))
+        relabeled = relabel_by_min_url(
+            clustered.select_columns(["url", "label"]), cfg)
+        return relabeled.union(singles)
+
+    labels = ckpt.stage("labels", build_labels)
+
+    ckpt.write_counters()
+    return DedupResult(signatures=signatures, verified=verified,
+                       edges=edges, span_edges=span_edges, labels=labels,
+                       counters=dict(ckpt.counters))
+
+
+def _exact_edge_batch(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "node_a": batch["rep_node"],
+        "node_b": batch["node_id"],
+        "url_a": batch["rep_url"],
+        "url_b": batch["url"],
+        "src": pa.array(["exact"] * batch.num_rows, pa.string()),
+    })
+
+
+def _keep_null_label(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.is_null(batch["label"]))
+
+
+def _singleton_label_batch(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "url": batch["url"],
+        "component": batch["url"],
+        "component_size": pa.array([1] * n, pa.int64()),
+    })
+
+
+def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
+    """Join texts for sub-threshold winnow candidates, verify LCS length."""
+    texts = signatures.select_columns(["node_id", "text"])
+    a_side = texts.rename_columns({"text": "text_a", "node_id": "ta_key"})
+    b_side = texts.rename_columns({"text": "text_b", "node_id": "tb_key"})
+    sub = span_cands.select_columns(
+        ["node_a", "node_b", "url_a", "url_b", "src", "jaccard"])
+    joined = (sub.join(a_side, join_type="inner",
+                       num_partitions=cfg.num_partitions,
+                       on=("node_a",), right_on=("ta_key",))
+              .join(b_side, join_type="inner",
+                    num_partitions=cfg.num_partitions,
+                    on=("node_b",), right_on=("tb_key",)))
+
+    min_span = cfg.min_shared_span
+
+    def lcs_batch(batch: pa.Table) -> pa.Table:
+        from eridu_ray.kernels.shingle import longest_common_substring_len
+
+        srcs = batch["src"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        spans = [longest_common_substring_len(x, y) if "winnow" in s else 0
+                 for s, x, y in zip(srcs, ta, tb)]
+        # canonical orientation: url_a < url_b (FIXTURES.md F2)
+        ua = batch["url_a"].to_pylist()
+        ub = batch["url_b"].to_pylist()
+        na = batch["node_a"].to_pylist()
+        nb = batch["node_b"].to_pylist()
+        for i in range(batch.num_rows):
+            if ua[i] > ub[i]:
+                ua[i], ub[i] = ub[i], ua[i]
+                na[i], nb[i] = nb[i], na[i]
+        out = pa.table({
+            "node_a": pa.array(na, pa.int64()),
+            "node_b": pa.array(nb, pa.int64()),
+            "url_a": pa.array(ua, pa.string()),
+            "url_b": pa.array(ub, pa.string()),
+            "src": batch["src"],
+            "jaccard": batch["jaccard"],
+            "span_len": pa.array(spans, pa.int64()),
+        })
+        return out
+
+    return (joined.map_batches(lcs_batch, batch_format="pyarrow",
+                               batch_size=256)
+            .filter(expr=f"span_len >= {min_span}"))

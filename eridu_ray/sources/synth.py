@@ -1,0 +1,246 @@
+"""Deterministic Common-Crawl-style page corpus with known dup structure.
+
+Role model: the reference's synthetic-pair generator, which mutates company
+names into labeled match/non-match pairs with a score prior
+(eridu/etl/disco.py:54-184).  Here the same idea is applied to documents:
+each base row of ``/root/testdata/sf*/documents.parquet`` deterministically
+spawns exact duplicates (same text, different url + boilerplate), near
+duplicates (few-token edits), and long-shared-span ("substring") pages.
+Ground truth (truth_pairs / truth_labels per FIXTURES.md F2/F3) is derived
+with the same shared kernels the pipeline uses, so dup-pair recall is
+measured at *identical* shingle/signature config (BASELINE.md).
+
+Everything is a pure function of (seed, doc_id) — no global RNG — so the
+expansion can run as a distributed ``map_batches`` over the documents table
+and still produce byte-identical corpora at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.kernels.shingle import (jaccard, longest_common_substring_len,
+                                       shingle_set)
+from eridu_ray.kernels.text import normalize_text, render_html
+from eridu_ray.kernels.unionfind import connected_components
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+_EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
+
+# extra filler vocabulary for token substitutions (deterministic)
+_SUBS = [f"zrep{i}" for i in range(64)]
+
+GENERATOR_VERSION = 2
+
+
+def _salt_text(text: str, doc_id: int, every: int = 6) -> str:
+    """Interleave per-doc marker tokens so distinct base docs can't be
+    accidental near-duplicates of each other.
+
+    The driver's documents table contains repeated/near-identical texts
+    across doc_ids (verified: pairs up to Jaccard 1.0); ground truth assumes
+    per-doc independence, so each base doc gets unique salt tokens every
+    ``every`` tokens.  Same-group variants share the salt (they derive from
+    the salted text), so within-group similarity is unchanged.
+    """
+    toks = text.split(" ")
+    out = []
+    for i, t in enumerate(toks):
+        if i % every == 0:
+            out.append(f"s{doc_id:x}m{i // every:x}")
+        out.append(t)
+    return " ".join(out)
+
+
+def _page_url(source: str, lang: str, doc_id: int, variant: str) -> str:
+    return f"https://{source}.example.com/{lang}/doc-{doc_id:08d}/{variant}"
+
+
+def _mutate_tokens(tokens: list[str], rng: np.random.Generator) -> list[str]:
+    """Substitute ~1-3% of tokens (>=1) — a 'near' duplicate edit."""
+    toks = list(tokens)
+    n_edit = max(1, int(len(toks) * rng.uniform(0.01, 0.03)))
+    idx = rng.choice(len(toks), size=min(n_edit, len(toks)), replace=False)
+    for i in idx:
+        toks[i] = _SUBS[int(rng.integers(0, len(_SUBS)))]
+    return toks
+
+
+def expand_documents_batch(batch: pa.Table, seed: int = 31337) -> pa.Table:
+    """documents rows -> webpages rows (1 base + 0..3 variant pages each).
+
+    Pure per-row function of (seed, doc_id): usable directly in
+    ``map_batches(batch_format="pyarrow")`` at any parallelism.
+    """
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+
+    urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+
+    def emit(url: str, ts_us: int, text: str, lang: str, boiler: str,
+             title: str) -> None:
+        urls.append(url)
+        tss.append(ts_us)
+        htmls.append(render_html(text, title=title, boiler=boiler))
+        out_texts.append(text)
+        out_langs.append(lang)
+
+    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+        rng = np.random.default_rng([seed, int(doc_id)])
+        text = _salt_text(text, int(doc_id))
+        ts0 = _EPOCH_US + int(doc_id) * 60_000_000
+        emit(_page_url(source, lang, doc_id, "base"), ts0, text, lang,
+             boiler=f"chrome-{source}", title=f"doc {doc_id}")
+        r = rng.random()
+        if r < 0.10:  # exact duplicates: same text, new url + boilerplate
+            for v in range(1 + int(rng.integers(0, 2))):
+                emit(_page_url(source, lang, doc_id, f"exact{v}"),
+                     ts0 + 1_000_000 * (v + 1), text, lang,
+                     boiler=f"mirror-{v}", title=f"copy {doc_id}")
+        elif r < 0.40:  # near duplicates: few-token edits
+            tokens = text.split(" ")
+            for v in range(1 + int(rng.integers(0, 3))):
+                mtext = " ".join(_mutate_tokens(tokens, rng))
+                emit(_page_url(source, lang, doc_id, f"near{v}"),
+                     ts0 + 2_000_000 * (v + 1), mtext, lang,
+                     boiler=f"chrome-{source}", title=f"doc {doc_id} v{v}")
+        elif r < 0.45:  # long-shared-span page: low jaccard, big substring
+            junk = " ".join(
+                f"pad{int(x)}" for x in rng.integers(0, 9999, len(text) // 6))
+            mtext = junk + " " + text + " " + junk
+            emit(_page_url(source, lang, doc_id, "span0"),
+                 ts0 + 3_000_000, mtext, lang,
+                 boiler="aggregator", title=f"quoting doc {doc_id}")
+        # else: singleton
+    return pa.Table.from_arrays(
+        [pa.array(urls, pa.string()),
+         pa.array(tss, pa.timestamp("us")),
+         pa.array(htmls, pa.binary()),
+         pa.array(out_texts, pa.string()),
+         pa.array(out_langs, pa.string())],
+        schema=PAGES_SCHEMA)
+
+
+def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
+                    seed: int = 31337) -> tuple[pa.Table, pa.Table]:
+    """(truth_pairs, truth_labels) for the pages spawned by these documents.
+
+    match=true iff exact char-k-gram Jaccard of normalized texts >=
+    cfg.dup_jaccard (the reference-config ground truth); substring pages get
+    kind='substring' rows regardless so the span stage has its own oracle.
+    Labels are connected components of the match=true graph, canonical id =
+    min url (order-independent; SURVEY.md §7.3).
+    """
+    pages = expand_documents_batch(batch, seed=seed)
+    doc_of: dict[str, int] = {}
+    for url in pages["url"].to_pylist():
+        doc_of[url] = int(url.rsplit("/doc-", 1)[1].split("/")[0])
+    by_doc: dict[int, list[int]] = {}
+    for i, url in enumerate(pages["url"].to_pylist()):
+        by_doc.setdefault(doc_of[url], []).append(i)
+
+    urls = pages["url"].to_pylist()
+    texts = pages["text"].to_pylist()
+
+    pa_a, pa_b, pa_match, pa_j, pa_kind, pa_group, pa_span = \
+        [], [], [], [], [], [], []
+    edges = []
+    for doc_id, idxs in by_doc.items():
+        if len(idxs) < 2:
+            continue
+        sets = {i: shingle_set(normalize_text(texts[i]), k=cfg.shingle_k,
+                               seed=cfg.seed) for i in idxs}
+        for ai in range(len(idxs)):
+            for bi in range(ai + 1, len(idxs)):
+                i, j = idxs[ai], idxs[bi]
+                iu, ju = ((i, j) if urls[i] <= urls[j] else (j, i))
+                ua, ub = urls[iu], urls[ju]
+                jac = jaccard(sets[i], sets[j])
+                is_span = "span" in ua or "span" in ub
+                match = bool(jac >= cfg.dup_jaccard)
+                kind = ("exact" if jac == 1.0 else
+                        "substring" if is_span else "near")
+                span_true = (longest_common_substring_len(texts[iu],
+                                                          texts[ju])
+                             if is_span and not match else 0)
+                pa_a.append(ua)
+                pa_b.append(ub)
+                pa_match.append(match)
+                pa_j.append(jac)
+                pa_kind.append(kind)
+                pa_group.append(f"doc-{doc_id}")
+                pa_span.append(span_true)
+                if match:
+                    edges.append((ua, ub))
+    comp = connected_components(edges, nodes=urls)
+    sizes: dict[str, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    truth_pairs = pa.table({
+        "url_a": pa.array(pa_a, pa.string()),
+        "url_b": pa.array(pa_b, pa.string()),
+        "match": pa.array(pa_match, pa.bool_()),
+        "jaccard_true": pa.array(pa_j, pa.float64()),
+        "kind": pa.array(pa_kind, pa.string()),
+        "group": pa.array(pa_group, pa.string()),
+        "span_true": pa.array(pa_span, pa.int64()),
+    })
+    truth_labels = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "component": pa.array([comp[u] for u in urls], pa.string()),
+        "component_size": pa.array([sizes[comp[u]] for u in urls],
+                                   pa.int64()),
+    })
+    return truth_pairs, truth_labels
+
+
+def synthesize_corpus(sf_dir: str, out_dir: str, cfg: PipelineConfig,
+                      seed: int = 31337) -> dict:
+    """Materialize pages + ground truth parquet under ``out_dir`` (cached).
+
+    Driver-side pyarrow path (generation is a fixture step, not the
+    benchmarked pipeline); idempotent per (sf_dir, seed, cfg hash).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}-g{GENERATOR_VERSION}"
+           f"-{seed}-{cfg.config_hash()}")
+    root = os.path.join(out_dir, tag)
+    manifest = os.path.join(root, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return json.load(f)
+    os.makedirs(root, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    pages = expand_documents_batch(docs, seed=seed)
+    pairs, labels = truth_for_batch(docs, cfg, seed=seed)
+    pq.write_table(pages, os.path.join(root, "webpages.parquet"))
+    pq.write_table(pairs, os.path.join(root, "truth_pairs.parquet"))
+    pq.write_table(labels, os.path.join(root, "truth_labels.parquet"))
+    info = {
+        "root": root,
+        "pages": os.path.join(root, "webpages.parquet"),
+        "truth_pairs": os.path.join(root, "truth_pairs.parquet"),
+        "truth_labels": os.path.join(root, "truth_labels.parquet"),
+        "n_pages": pages.num_rows,
+        "n_truth_pairs": pairs.num_rows,
+    }
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, manifest)
+    return info

@@ -1,0 +1,125 @@
+"""Iterative min-label-propagation connected components on Ray Data.
+
+MR-CC style (PAPERS.md: "Finding connected components in map-reduce in
+logarithmic rounds", ICDE 2013), expressed as repeated hash-partitioned
+join + groupby-min rounds until fixpoint (SURVEY.md §7.1 SHUFFLE #4..#4+k):
+
+    labels(node, label)     # init: label = node  (only edge-touched nodes)
+    repeat:
+        msgs  = edges_bidir JOIN labels on src -> (dst, label_src)
+        labels' = (labels UNION msgs).groupby(node).min(label)
+    until sum(label) unchanged   # labels only decrease -> monotone fixpoint
+
+Each round's labels are materialized (iterative algorithms must cut the
+lazy lineage or round k re-executes rounds 1..k-1).  Label ids are
+non-negative int64 node hashes, so canonical component id = min node id is
+order-independent: runs at any parallelism produce identical labels —
+BASELINE.md's cross-parallelism correctness requirement.  Isolated nodes
+never enter the loop; the caller unions them back as singletons.
+
+The convergence check compares the int64 wrapping sum of labels between
+rounds: per-node labels are strictly non-increasing, so any change
+strictly decreases the true sum; a wrapped collision would need the total
+decrease to be an exact multiple of 2^64 (probability ~2^-64, and bounded
+by the max_cc_rounds hard cap anyway).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+
+
+def _bidirect(edges):
+    """(node_a, node_b) edge list -> (src, dst) in both directions.
+
+    NB: Dataset.union matches columns by POSITION; select_columns after the
+    rename forces both sides into (src, dst) order.
+    """
+    fwd = edges.select_columns(["node_a", "node_b"]).rename_columns(
+        {"node_a": "src", "node_b": "dst"}).select_columns(["src", "dst"])
+    rev = edges.select_columns(["node_a", "node_b"]).rename_columns(
+        {"node_b": "src", "node_a": "dst"}).select_columns(["src", "dst"])
+    return fwd.union(rev)
+
+
+def _init_labels(edges_bidir, cfg: PipelineConfig):
+    """One label row per distinct edge endpoint, label = own node id."""
+    nodes = edges_bidir.select_columns(["src"]).rename_columns(
+        {"src": "node"}).groupby("node").count().drop_columns(["count()"])
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column("label", batch["node"])
+
+    return nodes.map_batches(add_label, batch_format="pyarrow")
+
+
+def label_propagation(edges, cfg: PipelineConfig,
+                      on_round=None):
+    """edges (node_a:int64, node_b:int64) -> labels (node, label) Dataset.
+
+    Returns the materialized fixpoint labels over edge-touched nodes.
+    ``on_round(i, labels_ds, label_sum)`` is the per-round lineage hook
+    (checkpointing/counters).
+    """
+    import pyarrow.compute as pc
+
+    edges_bidir = _bidirect(edges).materialize()
+    if edges_bidir.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "label": pa.array([], pa.int64())}))
+    labels = _init_labels(edges_bidir, cfg).materialize()
+
+    def wrapped_sum(ds) -> int:
+        # int64 wrapping sum of the label column (see module docstring)
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            s = pc.sum(b["label"]).as_py()
+            if s is not None:
+                total = (total + s) & 0xFFFFFFFFFFFFFFFF
+        return total
+
+    prev_sum = wrapped_sum(labels)
+    for rnd in range(cfg.max_cc_rounds):
+        msgs = (edges_bidir
+                .join(labels, join_type="inner",
+                      num_partitions=cfg.num_partitions,
+                      on=("src",), right_on=("node",))
+                .select_columns(["dst", "label"])
+                .rename_columns({"dst": "node"}))
+        merged = labels.select_columns(["node", "label"]).union(msgs)
+        new_labels = merged.groupby("node").min("label").rename_columns(
+            {"min(label)": "label"}).materialize()
+        new_sum = wrapped_sum(new_labels)
+        if on_round is not None:
+            on_round(rnd, new_labels, new_sum)
+        converged = new_sum == prev_sum
+        labels, prev_sum = new_labels, new_sum
+        if converged:
+            break
+    return labels
+
+
+def relabel_by_min_url(labels_with_urls, cfg: PipelineConfig):
+    """(url, node_id, label) -> (url, component, component_size).
+
+    Canonical, human-stable component id = lexicographic min url in the
+    component (FIXTURES.md F3), assigned in one groupby(label) pass.
+    """
+    def pick(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        comp = pc.min(group["url"]).as_py()
+        n = group.num_rows
+        return pa.table({
+            "url": group["url"],
+            "component": pa.array([comp] * n, pa.string()),
+            "component_size": pa.array([n] * n, pa.int64()),
+        })
+
+    return labels_with_urls.groupby("label").map_groups(
+        pick, batch_format="pyarrow")

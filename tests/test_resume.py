@@ -1,0 +1,78 @@
+"""Checkpoint / resume tests: kill-and-resume reproduces identical labels
+(BASELINE.md resumability row; SURVEY.md §4 checkpoint design)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.pipelines.dedup import run_dedup
+from eridu_ray.sources.synth import expand_documents_batch
+
+N_DOCS = 120
+
+
+@pytest.fixture()
+def pages_table():
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(
+        0, N_DOCS)
+    return expand_documents_batch(docs, seed=31337)
+
+
+def test_resume_reproduces_labels(pages_table, tmp_path):
+    import ray.data as rd
+
+    ck = str(tmp_path / "run")
+    cfg = PipelineConfig(num_partitions=2, checkpoint_dir=ck)
+    res1 = run_dedup(rd.from_arrow(pages_table), cfg)
+    labels1 = res1.labels.to_pandas().sort_values("url").reset_index(
+        drop=True)
+
+    # stage checkpoints + manifests exist
+    for stage in ("signatures", "verified", "edges", "labels"):
+        mp = os.path.join(ck, stage, "_manifest.json")
+        assert os.path.exists(mp), stage
+        with open(mp) as f:
+            assert json.load(f)["config_hash"] == cfg.config_hash()
+
+    # simulate a crash after 'verified': drop later checkpoints, resume
+    shutil.rmtree(os.path.join(ck, "edges"))
+    shutil.rmtree(os.path.join(ck, "labels"))
+    res2 = run_dedup(rd.from_arrow(pages_table), cfg)
+    assert res2.counters.get("signatures.resumed") == 1
+    assert res2.counters.get("verified.resumed") == 1
+    labels2 = res2.labels.to_pandas().sort_values("url").reset_index(
+        drop=True)
+    assert labels1.equals(labels2)
+
+
+def test_stale_config_invalidates_checkpoint(pages_table, tmp_path):
+    import ray.data as rd
+
+    ck = str(tmp_path / "run")
+    cfg = PipelineConfig(num_partitions=2, checkpoint_dir=ck)
+    run_dedup(rd.from_arrow(pages_table), cfg)
+    # different semantic config must NOT resume from these checkpoints
+    cfg2 = PipelineConfig(num_partitions=2, checkpoint_dir=ck,
+                          dup_jaccard=0.9)
+    res = run_dedup(rd.from_arrow(pages_table), cfg2)
+    assert "signatures.resumed" not in res.counters
+    assert res.counters.get("signatures.computed") == 1
+
+
+def test_partial_tmp_dir_discarded(pages_table, tmp_path):
+    """A torn .tmp stage dir from a killed run must not break a restart."""
+    import ray.data as rd
+
+    ck = str(tmp_path / "run")
+    os.makedirs(os.path.join(ck, "signatures.tmp"))
+    with open(os.path.join(ck, "signatures.tmp", "garbage.parquet"),
+              "w") as f:
+        f.write("not parquet")
+    cfg = PipelineConfig(num_partitions=2, checkpoint_dir=ck)
+    res = run_dedup(rd.from_arrow(pages_table), cfg)
+    assert res.labels.count() == pages_table.num_rows
+    assert not os.path.exists(os.path.join(ck, "signatures.tmp"))
