@@ -47,7 +47,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from eridu_ray.pipelines.relational import build_queries
+
+    qs = dict(build_queries())
+    qs["dedup_flagship"] = _q_dedup_flagship
+    return qs
+
+
+def _q_dedup_flagship(sf_dir: str) -> Any:
+    """Full near-dup pipeline labels over pages synthesized from sf_dir
+    (rows-only check: MinHash/LSH/CC is not SQL-expressible; correctness
+    is asserted against shared-kernel ground truth in tests/)."""
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.sources.synth import synthesize_corpus
+
+    cfg = PipelineConfig(num_partitions=8)
+    info = synthesize_corpus(sf_dir, "/tmp/eridu_cache", cfg)
+    return run_dedup(rd.read_parquet(info["pages"]), cfg).labels
 
 
 def oracle_sql() -> dict[str, str]:
@@ -57,4 +76,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from eridu_ray.pipelines.relational import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

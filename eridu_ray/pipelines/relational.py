@@ -1,0 +1,768 @@
+"""Relational operator library over the testdata tables (SURVEY.md §2).
+
+Every operator the reference exercises through pandas/PySpark is
+re-expressed as an idiomatic Ray Data pipeline, registered under a stable
+name, and (where SQL-expressible) paired with a DuckDB oracle string in
+``ORACLE_SQL`` — the driver runs both sides and compares row-count +
+schema + order-insensitive value hash, so **column names and value
+rounding must match exactly**.
+
+Conventions:
+- reads always prune columns (``read_parquet(columns=[...])``);
+- summed/derived floats are emitted as exact integers (cents / basis
+  points / integer moments): double sums differ across engines in the
+  last ulp and round() half-breaking differs (pyarrow half-to-even,
+  DuckDB half-away), so only selection ops (min/max/filter) keep doubles;
+- DuckDB integer sums get ``::BIGINT`` (bare sum returns HUGEINT ->
+  pandas float64);
+- no query relies on result order (the compare is order-insensitive) and
+  every LIMIT has a deterministic total tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- filters / projections (M1-M5, M15) -----------------------------------
+
+def q_filter_conj(sf_dir):
+    """M1: conjunctive equality filter (eridu/etl/filter.py:69-71)."""
+    return _rp(sf_dir, "documents",
+               ["doc_id", "lang", "source", "n_chars"]).filter(
+        expr="lang == 'en' and source == 'src1'")
+
+
+def q_filter_disj(sf_dir):
+    """M2: disjunctive filter (eridu/etl/filter.py:74-76)."""
+    return _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).filter(
+        expr="lang == 'de' or lang == 'zh'")
+
+
+def q_filter_tokens(sf_dir):
+    """M3: split+size compound filter (eridu/etl/report.py:78-82)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        out = pa.table({"doc_id": b["doc_id"],
+                        "n_tokens": pc.cast(ntok, pa.int64())})
+        mask = pc.and_(pc.greater(out["n_tokens"], 60),
+                       pc.equal(b["lang"], "en"))
+        return out.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_project(sf_dir):
+    """M5: projection + rename (eridu/etl/report.py:75)."""
+    return _rp(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"]).rename_columns(
+        {"l_orderkey": "okey", "l_linenumber": "lno", "l_quantity": "qty"})
+
+
+def q_add_column(sf_dir):
+    """M6: computed column append (eridu/etl/report.py:7-9).
+
+    Output as integer milli-units: round(value*1.1, 4) produces different
+    ulps in pyarrow vs DuckDB; round(value*1100) is exactly integral for
+    2-decimal inputs so both engines agree bit-for-bit."""
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        taxed = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 1100
+        ).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "value_with_tax_milli": pa.array(taxed)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_label_cast(sf_dir):
+    """M15: boolean -> float label cast (fine_tune_sbert.py:288)."""
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.greater_equal(b["value"], 100.0), pa.float64())
+        return pa.table({"event_id": b["event_id"], "label": lab})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- grouped aggregates (A2-A11) ------------------------------------------
+
+def q_groupby_count(sf_dir):
+    """A2: groupBy(col).count() (eridu/etl/report.py:45)."""
+    return (_rp(sf_dir, "events", ["event_type"])
+            .groupby("event_type").count()
+            .rename_columns({"count()": "n"}))
+
+
+def q_multikey_count(sf_dir):
+    """A3: multi-key grouped count (eridu/etl/report.py:50-64)."""
+    return (_rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+            .groupby(["l_returnflag", "l_linestatus"]).count()
+            .rename_columns({"count()": "n"}))
+
+
+def q_langpair_count(sf_dir):
+    """A4: language-pair counts (eridu/etl/report.py:68-71)."""
+    return (_rp(sf_dir, "documents", ["lang", "source"])
+            .groupby(["lang", "source"]).count()
+            .rename_columns({"count()": "n"}))
+
+
+def q_distinct_count(sf_dir):
+    """A5: distinct count on a key subset (eridu/etl/report.py:100)."""
+    import ray.data as rd
+
+    distinct = (_rp(sf_dir, "documents", ["lang", "source"])
+                .groupby(["lang", "source"]).count())
+    n = distinct.count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def q_dup_patterns(sf_dir):
+    """A6: group-having-count>1 duplicate patterns
+    (eridu/etl/report.py:113-120; LIMIT dropped — order-insensitive gate)."""
+    return (_rp(sf_dir, "orders", ["o_custkey"])
+            .groupby("o_custkey").count()
+            .rename_columns({"count()": "n"})
+            .filter(expr="n > 1"))
+
+
+def q_grouped_multi_agg(sf_dir):
+    """A7: TPC-H-Q1-style grouped multi-aggregate
+    (eridu/etl/cluster_split.py:56-60 multi-agg analog).
+
+    Currency/ratio sums are emitted as exact integers (cents / basis
+    points): double sums differ across engines in the last ulp, integers
+    hash identically.  Per-row cents conversion happens in a vectorized
+    map_batches BEFORE the shuffle — also the partial-agg-friendly layout.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        price = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        qty = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "qty": pa.array(qty),
+                         "price_cents": pa.array(price),
+                         "disc_bp": pa.array(disc)})
+
+    return (ds.map_batches(to_cents, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty"), Sum("price_cents"), Sum("disc_bp"),
+                       Count())
+            .rename_columns({"sum(qty)": "sum_qty",
+                             "sum(price_cents)": "sum_price_cents",
+                             "sum(disc_bp)": "sum_disc_bp",
+                             "count()": "n"}))
+
+
+def q_value_counts(sf_dir):
+    """A8: value_counts (eridu/etl/analyze.py:19)."""
+    return (_rp(sf_dir, "documents", ["lang"]).groupby("lang").count()
+            .rename_columns({"count()": "n"}))
+
+
+def _events_cents(sf_dir, cols):
+    ds = _rp(sf_dir, "events", cols)
+
+    def f(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        out = {c: b[c] for c in cols if c != "value"}
+        out["cents"] = pa.array(cents)
+        out["cents_sq"] = pa.array(cents * cents)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_score_stats(sf_dir):
+    """A9: per-category stats (error_category_analysis.py:32-41).
+
+    min/max stay double (they select an input value bit-identically);
+    mean/std are emitted as exact integer moments (sum, sum of squares in
+    cents) so the compare is ulp-proof — the reference's mean/std are
+    derivable from (n, sum, sumsq)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+    cents = _events_cents(sf_dir, ["event_type", "value"])
+    minmax = (ds.groupby("event_type").aggregate(Min("value"), Max("value"))
+              .rename_columns({"min(value)": "min_value",
+                               "max(value)": "max_value"}))
+    moments = (cents.groupby("event_type")
+               .aggregate(Count(), Sum("cents"), Sum("cents_sq"))
+               .rename_columns({"count()": "n", "sum(cents)": "sum_cents",
+                                "sum(cents_sq)": "sumsq_cents"}))
+    return minmax.join(moments, join_type="inner", num_partitions=2,
+                       on=("event_type",))
+
+
+def q_global_stats(sf_dir):
+    """A10: global moments (fine_tune_sbert.py:422-434) as exact ints."""
+    from ray.data.aggregate import Count, Sum
+
+    cents = _events_cents(sf_dir, ["value"])
+    res = cents.aggregate(Count(), Sum("cents"), Sum("cents_sq"))
+    return pa.table({
+        "n": pa.array([res["count()"]], pa.int64()),
+        "sum_cents": pa.array([res["sum(cents)"]], pa.int64()),
+        "sumsq_cents": pa.array([res["sum(cents_sq)"]], pa.int64()),
+    })
+
+
+def q_confusion_counts(sf_dir):
+    """A11: confusion-matrix-style counts via per-batch PARTIAL aggregation
+    then a tiny groupby-sum (evaluate.py:210-214; the partial+final pattern
+    is the scale story — the shuffle moves one row per key per batch)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hi": (b["value"].to_numpy() >= 100.0)})
+        g = df.groupby("event_type")["hi"].agg(["sum", "count"]).reset_index()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "hi": pa.array(g["sum"].astype("int64")),
+                         "n": pa.array(g["count"].astype("int64"))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (partials.groupby("event_type").aggregate(Sum("hi"), Sum("n"))
+           .rename_columns({"sum(hi)": "hi", "sum(n)": "n"}))
+
+    def finish(b: pa.Table) -> pa.Table:
+        lo = pc.subtract(b["n"], b["hi"])
+        return pa.table({"event_type": b["event_type"], "hi": b["hi"],
+                         "lo": lo})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --- sorts / limits / sampling / splits (O1-O8) ---------------------------
+
+def q_top_k(sf_dir):
+    """O1: sort desc + limit with total tie-break (report.py:113-129)."""
+    return (_rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, True])
+            .limit(10))
+
+
+def q_multikey_sort(sf_dir):
+    """O2: multi-key sort (analyze.py:108); compare is order-insensitive so
+    this gates the sort op's row preservation, not order."""
+    return (_rp(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+            .sort(["lang", "doc_id"]))
+
+
+def q_sample_hash(sf_dir):
+    """O5 made deterministic: hash-mod sample (pandas .sample with a seed
+    is engine-specific; the scalable seeded equivalent is a hash bucket —
+    also the reference's group-split trick, fine_tune_sbert.py:217-227)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids * 2654435761) % 100 < 10
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_hash_split(sf_dir):
+    """O7/O8: deterministic 80/10/10 split by key hash (shuffle-free map;
+    GroupShuffleSplit analog, fine_tune_sbert.py:217-227)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        bucket = b["doc_id"].to_numpy(zero_copy_only=False) % 10
+        split = np.select([bucket < 8, bucket == 8], ["train", "val"],
+                          default="test")
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- dedup / set ops (D1-D4) ----------------------------------------------
+
+def q_exact_dedup(sf_dir):
+    """D1: exact dedup on content, keep min-key row
+    (dropDuplicates semantics made deterministic, eridu/etl/filter.py:51-54)."""
+    ds = _rp(sf_dir, "documents",
+             ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def first_by_min(g: pa.Table) -> pa.Table:
+        i = int(np.argmin(g["doc_id"].to_numpy(zero_copy_only=False)))
+        return g.slice(i, 1)
+
+    return ds.groupby("text").map_groups(first_by_min,
+                                         batch_format="pyarrow")
+
+
+def q_exact_dup_pairs(sf_dir):
+    """D1 companion: identical-content pairs (Clusters.md:101-103 dup
+    analysis) — groupby(content) emitting canonical (min, other) pairs."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    schema = pa.schema([("doc_id_a", pa.int64()),
+                        ("doc_id_b", pa.int64())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        if ids.size < 2:
+            return schema.empty_table()
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pa.table({"doc_id_a": pa.array(ids[ii]),
+                         "doc_id_b": pa.array(ids[jj])})
+
+    out = ds.groupby("text").map_groups(pairs, batch_format="pyarrow")
+    # all-empty map_groups output loses its schema in Ray; the dup-pair set
+    # is tiny by construction, so collect into an explicitly-schema'd Table
+    return pa.concat_tables(
+        [schema.empty_table()]
+        + [b.cast(schema) for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def q_distinct_vals(sf_dir):
+    """D3: unique() (eridu/etl/disco.py:43)."""
+    return (_rp(sf_dir, "documents", ["lang"]).groupby("lang").count()
+            .drop_columns(["count()"]))
+
+
+def q_union_distinct(sf_dir):
+    """D4/J4: vertical union then distinct (disco.py:43,
+    cluster_split.py:375)."""
+    o = (_rp(sf_dir, "orders", ["o_custkey"])
+         .rename_columns({"o_custkey": "key"}))
+    c = (_rp(sf_dir, "customer", ["c_custkey"])
+         .rename_columns({"c_custkey": "key"}))
+    return o.union(c).groupby("key").count().drop_columns(["count()"])
+
+
+# --- joins (J1, J2) -------------------------------------------------------
+
+def q_semi_join(sf_dir):
+    """J2: semi-join via broadcast key set (tests/test_cluster_pairs.py:21-24;
+    the scale pattern: collect the small side once, filter with is_in)."""
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000.0")
+    keys = pa.array(sorted(
+        r["o_orderkey"] for r in orders.take_all()), pa.int64())
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
+
+    return li.map_batches(f, batch_format="pyarrow")
+
+
+def q_join_agg(sf_dir):
+    """J1: key-equality join + broadcast dim lookup + grouped agg
+    (cluster_split.py:249 dict-lookup join; orders⋈customer is the
+    hash-partitioned big join, nation is the broadcast small side)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nation}
+
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_pylist()
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"n_name": pa.array([nmap[k] for k in nk],
+                                            pa.string()),
+                         "price_cents": pa.array(cents)})
+
+    return (joined.map_batches(add_nation, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Count(), Sum("price_cents"))
+            .rename_columns({"count()": "n",
+                             "sum(price_cents)": "sum_price_cents"}))
+
+
+# --- streaming-shaped: tumbling window over events ------------------------
+
+def q_window_hourly(sf_dir):
+    """Tumbling 1-hour window per event_type (ray_guide 'streaming-shaped':
+    event-time windows = groupby on a truncated timestamp key)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(b["ts"], unit="hour")
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": b["event_type"], "win": win,
+                         "cents": pa.array(cents)})
+
+    return (ds.map_batches(trunc, batch_format="pyarrow")
+            .groupby(["event_type", "win"])
+            .aggregate(Count(), Sum("cents"))
+            .rename_columns({"count()": "n", "sum(cents)": "sum_cents"}))
+
+
+# --- text analysis over documents -----------------------------------------
+
+def q_token_counts(sf_dir):
+    """Token counting (whitespace) — matches len(string_split(text,' '))."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")),
+            pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": ntok})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir):
+    """Quality features with SQL-parity formulas (mean token length)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")),
+            pa.int64())
+        nchars = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        # ratios stay as exact integer numerator/denominator — a derived
+        # double ratio is engine-rounding-dependent at half boundaries
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": ntok,
+                         "sum_token_chars": pc.add(
+                             pc.subtract(nchars, ntok), 1)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir):
+    """Document fingerprinting — hex MD5, byte-identical to DuckDB md5()."""
+    import hashlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "fp": pa.array(fps, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_payload_meta(sf_dir):
+    """Multimodal plumbing: opaque payload treated as binary + typed
+    metadata (byte length); decode itself is stubbed (multimodal.py)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        payload = pc.cast(b["text"], pa.binary())
+        nbytes = pc.cast(pc.binary_length(payload), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "payload_bytes": nbytes})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir):
+    """Language-ID heuristic (rows-only check; not SQL-expressible)."""
+    from eridu_ray.kernels.text import detect_language
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- embedding similarity (ANN) -------------------------------------------
+
+def _embedding_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def q_embedding_topk(sf_dir):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
+    per-batch partial top-k, global top-k via groupby(query).map_groups.
+    Returns the (query_id, vec_id) set — float sims excluded from the
+    compare (engine sum-order differences)."""
+    import ray
+
+    K = 10
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pa.concat_tables(
+        b for b in emb.filter(expr="vec_id < 5").iter_batches(
+            batch_format="pyarrow", batch_size=64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = _embedding_matrix(qtab)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qmat))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        m = _embedding_matrix(b)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ qm.T  # (batch, nq)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            s = sims[:, j]
+            mask = vids != qid
+            vv, ss = vids[mask], s[mask]
+            top = np.argsort(-ss, kind="stable")[:K]
+            out_q.extend([qid] * top.size)
+            out_v.extend(vv[top])
+            out_s.extend(ss[top])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        s = g["sim"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:K]
+        return pa.table({"query_id": g["query_id"].take(pa.array(order)),
+                         "vec_id": pa.array(v[order])})
+
+    return (emb.map_batches(partial_topk, batch_format="pyarrow",
+                            batch_size=256)
+            .groupby("query_id")
+            .map_groups(final_topk, batch_format="pyarrow"))
+
+
+def q_embedding_neardup(sf_dir):
+    """Embedding-cosine near-dup pairs (threshold chosen with wide margin
+    from any observed similarity — no float-boundary flakiness)."""
+    import ray
+
+    THRESH = 0.45
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # small side broadcast once; at scale this becomes the LSH/IVF variant
+    all_tab = pa.concat_tables(
+        b for b in emb.iter_batches(batch_format="pyarrow",
+                                    batch_size=4096))
+    vids = all_tab["vec_id"].to_numpy(zero_copy_only=False)
+    mat = _embedding_matrix(all_tab)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((vids, mat))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        av, am = ray.get(ref)
+        m = _embedding_matrix(b)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ am.T
+        bv = b["vec_id"].to_numpy(zero_copy_only=False)
+        ii, jj = np.nonzero(sims >= THRESH)
+        keep = bv[ii] < av[jj]
+        return pa.table({"vec_id_a": pa.array(bv[ii][keep], pa.int64()),
+                         "vec_id_b": pa.array(av[jj][keep], pa.int64())})
+
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
+# --- registry -------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "filter_conj": q_filter_conj,
+        "filter_disj": q_filter_disj,
+        "filter_tokens": q_filter_tokens,
+        "project": q_project,
+        "add_column": q_add_column,
+        "label_cast": q_label_cast,
+        "groupby_count": q_groupby_count,
+        "multikey_count": q_multikey_count,
+        "langpair_count": q_langpair_count,
+        "distinct_count": q_distinct_count,
+        "dup_patterns": q_dup_patterns,
+        "grouped_multi_agg": q_grouped_multi_agg,
+        "value_counts": q_value_counts,
+        "score_stats": q_score_stats,
+        "global_stats": q_global_stats,
+        "confusion_counts": q_confusion_counts,
+        "top_k": q_top_k,
+        "multikey_sort": q_multikey_sort,
+        "sample_hash": q_sample_hash,
+        "hash_split": q_hash_split,
+        "exact_dedup": q_exact_dedup,
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "distinct_vals": q_distinct_vals,
+        "union_distinct": q_union_distinct,
+        "semi_join": q_semi_join,
+        "join_agg": q_join_agg,
+        "window_hourly": q_window_hourly,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "payload_meta": q_payload_meta,
+        "lang_id": q_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+    }
+
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_conj": (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE lang = 'en' AND source = 'src1'"),
+    "filter_disj": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'de' OR lang = 'zh'"),
+    "filter_tokens": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "
+        "FROM documents WHERE len(string_split(text, ' ')) > 60 "
+        "AND lang = 'en'"),
+    "project": (
+        "SELECT l_orderkey AS okey, l_linenumber AS lno, l_quantity AS qty "
+        "FROM lineitem"),
+    "add_column": (
+        "SELECT event_id, CAST(round(value * 1100) AS BIGINT) "
+        "AS value_with_tax_milli FROM events"),
+    "label_cast": (
+        "SELECT event_id, (value >= 100.0)::DOUBLE AS label FROM events"),
+    "groupby_count": (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"),
+    "multikey_count": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus"),
+    "langpair_count": (
+        "SELECT lang, source, count(*) AS n FROM documents "
+        "GROUP BY lang, source"),
+    "distinct_count": (
+        "SELECT count(*) AS n FROM "
+        "(SELECT DISTINCT lang, source FROM documents)"),
+    "dup_patterns": (
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING count(*) > 1"),
+    "grouped_multi_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT "
+        "AS sum_price_cents, "
+        "sum(CAST(round(l_discount * 10000) AS BIGINT))::BIGINT AS sum_disc_bp, "
+        "count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "value_counts": (
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"),
+    "score_stats": (
+        "SELECT event_type, min(value) AS min_value, "
+        "max(value) AS max_value, count(*) AS n, "
+        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
+        "sum(CAST(round(value * 100) AS BIGINT) "
+        "* CAST(round(value * 100) AS BIGINT))::BIGINT AS sumsq_cents "
+        "FROM events GROUP BY event_type"),
+    "global_stats": (
+        "SELECT count(*) AS n, "
+        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
+        "sum(CAST(round(value * 100) AS BIGINT) "
+        "* CAST(round(value * 100) AS BIGINT))::BIGINT AS sumsq_cents "
+        "FROM events"),
+    "confusion_counts": (
+        "SELECT event_type, "
+        "count(*) FILTER (value >= 100.0) AS hi, "
+        "count(*) FILTER (value < 100.0) AS lo "
+        "FROM events GROUP BY event_type"),
+    "top_k": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10"),
+    "multikey_sort": (
+        "SELECT lang, doc_id, n_chars FROM documents "
+        "ORDER BY lang, doc_id"),
+    "sample_hash": (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE doc_id * 2654435761 % 100 < 10"),
+    "hash_split": (
+        "SELECT doc_id, source, CASE WHEN doc_id % 10 < 8 THEN 'train' "
+        "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"),
+    "exact_dedup": (
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn "
+        "FROM documents) WHERE rn = 1"),
+    "exact_dup_pairs": (
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+        "FROM documents a JOIN documents b "
+        "ON a.text = b.text AND a.doc_id < b.doc_id"),
+    "distinct_vals": "SELECT DISTINCT lang FROM documents",
+    "union_distinct": (
+        "SELECT o_custkey AS key FROM orders "
+        "UNION SELECT c_custkey AS key FROM customer"),
+    "semi_join": (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)"),
+    "join_agg": (
+        "SELECT n_name, count(*) AS n, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "window_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS win, count(*) AS n, "
+        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents FROM events "
+        "GROUP BY event_type, date_trunc('hour', ts)"),
+    "token_counts": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "
+        "FROM documents"),
+    "quality_scores": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+        "(length(text) - len(string_split(text, ' ')) + 1)::BIGINT "
+        "AS sum_token_chars FROM documents"),
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "payload_meta": (
+        "SELECT doc_id, strlen(text)::BIGINT AS payload_bytes "
+        "FROM documents"),
+    # lang_id: rows-only (heuristic, not SQL-expressible)
+    "embedding_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
+        "FROM embeddings WHERE vec_id < 5), "
+        "s AS (SELECT q.qid AS query_id, e.vec_id, "
+        "list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim "
+        "FROM q, embeddings e WHERE e.vec_id != q.qid) "
+        "SELECT query_id, vec_id FROM "
+        "(SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s) "
+        "WHERE rn <= 10"),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND "
+        "list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]) >= 0.45"),
+}

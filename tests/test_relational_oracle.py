@@ -1,0 +1,73 @@
+"""Driver-mirror correctness gate: every SQL-expressible query in
+__ray_entry__.queries() must match its DuckDB oracle at sf0.001 —
+row count, column names, and order-insensitive values."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("ERIDU_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _query_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    names = [n for n in entrymod.queries() if n in entrymod.oracle_sql()]
+    return entrymod, names
+
+
+ENTRYMOD, NAMES = _query_names()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, con):
+    fn = ENTRYMOD.queries()[name]
+    got = _canon(_to_pandas(fn(SF_DIR)))
+    want = _canon(con.sql(ENTRYMOD.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_rows_only_queries_run():
+    qs = ENTRYMOD.queries()
+    sqls = ENTRYMOD.oracle_sql()
+    rows_only = [n for n in qs if n not in sqls and n != "dedup_flagship"]
+    for name in rows_only:
+        df = _to_pandas(qs[name](SF_DIR))
+        assert len(df) >= 0 and len(df.columns) > 0, name
