@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship dedup pipeline + headline relational queries.
+
+Usage:
+    python bench.py                  # one JSON line on stdout
+    python bench.py --scaling        # fresh-process runs at 8 and 32 CPUs
+                                     # (the sandbox proxy for N vs 4N nodes)
+
+Env:
+    GRAFT_SF_DIR       input tables dir   (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS     ray.init num_cpus  (default 32)
+    ERIDU_BENCH_REPEAT corpus replication (default 4 -> ~35k pages at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("ERIDU_BENCH_REPEAT", "4"))
+CACHE = "/tmp/eridu_cache"
+
+
+def run_bench() -> dict:
+    import logging
+
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    import ray
+
+    if not ray.is_initialized():
+        # log_to_driver=False: raylet warnings would land on stdout and
+        # break the one-JSON-line output contract
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="error",
+                 log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.pipelines import relational
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.sources.synth import synthesize_pages_ray
+
+    cfg = PipelineConfig(num_partitions=max(8, NUM_CPUS))
+
+    # fixture generation + page-cache warm-up are untimed
+    info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT)
+    n_pages = rd.read_parquet(info["pages"]).count()
+
+    t0 = time.perf_counter()
+    res = run_dedup(rd.read_parquet(info["pages"]), cfg)
+    n_labels = res.labels.count()
+    flagship_sec = time.perf_counter() - t0
+    assert n_labels == n_pages, (n_labels, n_pages)
+
+    queries = {"dedup_flagship": round(flagship_sec, 3)}
+    for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
+                  "exact_dedup", "embedding_topk", "token_counts"):
+        fn = relational.build_queries()[qname]
+        tq = time.perf_counter()
+        out = fn(SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        queries[qname] = round(time.perf_counter() - tq, 3)
+
+    return {
+        "metric": "dedup_pipeline_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / flagship_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    # warm fixture cache + OS page cache with an untimed run
+    one(lo_cpus)
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    speedup = lo["value"] / hi["value"]
+    eff = speedup / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "sf": SF_DIR,
+        "n_pages": lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    # Ray's raylet warnings print straight to fd 1 even with
+    # log_to_driver=False; route fd 1 to stderr for the run so stdout
+    # carries exactly ONE JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        if "--scaling" in sys.argv:
+            result = run_scaling()
+        else:
+            result = run_bench()
+            import ray
+
+            ray.shutdown()
+    finally:
+        os.dup2(real_stdout, 1)
+    print(json.dumps(result))

@@ -39,6 +39,7 @@ class PipelineConfig:
 
     # --- skew / scale knobs ---
     band_group_cap: int = 256   # max docs per LSH bucket before star-fallback
+    winnow_group_cap: int = 32  # span buckets: larger = boilerplate, star it
     max_cc_rounds: int = 16     # label propagation hard cap (log-diameter)
     batch_size: int = 2048      # rows per map_batches batch in hot stages
     scorer_batch_size: int = 1024

@@ -62,21 +62,82 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (a.size + b.size - inter)
 
 
-def winnow_fingerprints(text: str, k: int = 5, window: int = 64,
-                        seed: int = 0) -> np.ndarray:
-    """Winnowing fingerprint set: min shingle hash per sliding window.
-
-    Guarantee: two texts sharing a substring of length >= window + k - 1
-    share at least one fingerprint value.  Returns sorted unique uint64.
-    Vectorized with a sliding-window-view minimum (no Python loop).
-    """
-    h = shingle_hashes(text, k=k, seed=seed)
+def winnow_select(positional_hashes: np.ndarray,
+                  window: int = 64) -> np.ndarray:
+    """Winnowing selection sequence: min hash per sliding window, with
+    consecutive duplicates collapsed, in positional order."""
+    h = positional_hashes
     if h.size == 0:
         return np.empty(0, dtype=np.uint64)
     if h.size <= window:
-        return np.unique(h.min(keepdims=True))
-    wins = np.lib.stride_tricks.sliding_window_view(h, window)
-    return np.unique(wins.min(axis=1))
+        return h.min(keepdims=True)
+    mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+    keep = np.empty(mins.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+    return mins[keep]
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 64,
+                        seed: int = 0) -> np.ndarray:
+    """Winnowing fingerprint BIGRAMS: hashes of consecutive selections.
+
+    Plain winnowing (Schleimer et al. SIGMOD'03) guarantees one shared
+    selection per shared span >= window + k - 1, but selections are global
+    minima of the hash space, so a corpus with shared vocabulary collides
+    every document containing one low-hash common k-gram (measured: 135k
+    junk candidate pairs on an 881-page corpus).  Pairing CONSECUTIVE
+    selections keeps span detection — two texts sharing a span of length
+    >= 2*window + k - 1 share at least one full (fp_i, fp_{i+1}) bigram —
+    while a collision now requires two adjacent minima to agree, which
+    only happens inside genuinely shared text.  Returns sorted unique
+    uint64 bigram hashes.
+    """
+    sel = winnow_select(shingle_hashes(text, k=k, seed=seed), window=window)
+    if sel.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if sel.size == 1:
+        return np.unique(splitmix64(sel))
+    bigrams = splitmix64(splitmix64(sel[:-1]) ^ sel[1:])
+    return np.unique(bigrams)
+
+
+def cdc_fingerprints(text: str, positional_hashes: np.ndarray,
+                     mean_chunk: int = 32, min_chunk: int = 16,
+                     seed: int = 0) -> np.ndarray:
+    """Content-defined-chunking fingerprints (rsync/LBFS-style).
+
+    Breakpoints at positions whose k-gram hash is 0 mod ``mean_chunk``
+    (content-defined, so two documents sharing a span place identical
+    interior breakpoints regardless of offset); each chunk's fingerprint
+    hashes the chunk's ENTIRE text, so a collision means the chunk text is
+    byte-identical — immune to the common-vocabulary junk that plagues
+    single-gram fingerprints.  Chunks shorter than ``min_chunk`` chars are
+    dropped (judged per-chunk: offset-independent).  Complements the
+    winnowing bigrams: a shared span of length L contains a full interior
+    chunk unless it has <2 breakpoints (P ~ Poisson tail, ~1.6% at L=200,
+    mean_chunk=32); the union of both families makes the substring stage's
+    candidate recall effectively complete.
+    """
+    import hashlib
+
+    h = positional_hashes
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    mask = np.uint64(mean_chunk - 1)
+    bp = np.nonzero((h & mask) == np.uint64(0))[0]
+    bounds = np.concatenate(([0], bp, [len(text)]))
+    key = seed.to_bytes(8, "little", signed=False)
+    out = []
+    blake = hashlib.blake2b
+    for i in range(bounds.size - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi - lo < min_chunk:
+            continue
+        d = blake(text[lo:hi].encode("utf-8"), digest_size=8,
+                  key=key).digest()
+        out.append(int.from_bytes(d, "little"))
+    return np.unique(np.array(out, dtype=np.uint64))
 
 
 def longest_common_substring_len(a: str, b: str) -> int:

@@ -60,14 +60,24 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     are committed as Parquet checkpoints and a rerun resumes from the last
     completed stage (identical results — see tests/test_resume.py).
     """
+    import time as _time
+
     cfg = cfg or PipelineConfig()
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.config_hash())
+    _t = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        ckpt.counters[f"sec.{name}"] = round(now - _t, 3)
+        _t = now
 
     signatures = ckpt.stage(
         "signatures", lambda: compute_signatures(pages, cfg),
         lineage={"input": "pages"})
     if cfg.checkpoint_dir is None:
         signatures = signatures.materialize()
+    _mark("signatures")
 
     # --- exact dedup + representative selection (one shuffle) ------------
     tagged = signatures.groupby("chash").map_groups(
@@ -76,6 +86,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         tagged = tagged.materialize()
     else:
         tagged = ckpt.stage("exact_tagged", lambda: tagged)
+    _mark("exact_groups")
     reps = tagged.filter(expr="is_rep == True")
     exact_edges = (tagged.filter(expr="is_rep == False")
                    .map_batches(_exact_edge_batch, batch_format="pyarrow"))
@@ -106,7 +117,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
                                  batch_size=cfg.batch_size)
                     .groupby("fp_key")
                     .map_groups(cand.make_winnow_pairs_fn(
-                        cfg.band_group_cap), batch_format="pyarrow"))
+                        cfg.winnow_group_cap), batch_format="pyarrow"))
 
     all_cands = (minhash_cands.union(simhash_cands).union(winnow_cands)
                  .groupby(["node_a", "node_b"])
@@ -115,26 +126,31 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # --- exact-Jaccard verification (2 hash joins on node id) ------------
     def build_verified():
         with_sets = attach_shingles(all_cands, signatures, cfg)
-        return with_sets.map_batches(jaccard_batch, batch_format="pyarrow",
-                                     batch_size=cfg.batch_size)
+        return with_sets.map_batches(
+            jaccard_batch, batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            fn_kwargs={"keep_lo": cfg.borderline_jaccard,
+                       "keep_hi": cfg.dup_jaccard})
 
     verified = ckpt.stage("verified", build_verified)
     if cfg.checkpoint_dir is None:
         verified = verified.materialize()
+    _mark("candidates_verify")
 
     dup_pairs = verified.filter(
         expr=f"jaccard >= {cfg.dup_jaccard}").select_columns(
         ["node_a", "node_b", "url_a", "url_b", "src"])
 
     # --- borderline refinement (actor-pool scorer) ------------------------
+    # borderline rows already carry their shingle blobs (jaccard_batch
+    # keep window) — the scorer pool consumes them join-free
     borderline = verified.filter(
         expr=f"jaccard >= {cfg.borderline_jaccard} and "
              f"jaccard < {cfg.dup_jaccard}")
-    scored = (attach_shingles(borderline, signatures, cfg)
-              .map_batches(PairScorer, fn_constructor_args=(cfg,),
-                           batch_format="pyarrow",
-                           batch_size=cfg.scorer_batch_size,
-                           concurrency=cfg.scorer_concurrency))
+    scored = borderline.map_batches(
+        PairScorer, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency)
     scorer_edges = scored.filter(
         expr=f"similarity >= {cfg.scorer_threshold}").select_columns(
         ["node_a", "node_b", "url_a", "url_b", "src"])
@@ -148,9 +164,13 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     edges = ckpt.stage("edges", lambda: edges_all)
     if cfg.checkpoint_dir is None:
         edges = edges.materialize()
+    _mark("edges")
 
     # --- substring (long-shared-span) stage -------------------------------
-    span_cands = verified.filter(expr=f"jaccard < {cfg.dup_jaccard}")
+    # only winnow-tagged sub-threshold candidates can share a long span
+    # (the winnowing guarantee); filter BEFORE the text join
+    span_cands = (verified.filter(expr=f"jaccard < {cfg.dup_jaccard}")
+                  .map_batches(_keep_winnow_src, batch_format="pyarrow"))
     span_edges = _verify_spans(span_cands, signatures, cfg)
 
     # --- connected components + canonical labels -------------------------
@@ -171,6 +191,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         return relabeled.union(singles)
 
     labels = ckpt.stage("labels", build_labels)
+    _mark("components")
 
     ckpt.write_counters()
     return DedupResult(signatures=signatures, verified=verified,
@@ -186,6 +207,12 @@ def _exact_edge_batch(batch: pa.Table) -> pa.Table:
         "url_b": batch["url"],
         "src": pa.array(["exact"] * batch.num_rows, pa.string()),
     })
+
+
+def _keep_winnow_src(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.match_substring(batch["src"], "winnow"))
 
 
 def _keep_null_label(batch: pa.Table) -> pa.Table:

@@ -205,6 +205,63 @@ def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
     return truth_pairs, truth_labels
 
 
+def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
+                         seed: int = 31337, repeat: int = 1) -> dict:
+    """Distributed (Ray) page generation with optional replication.
+
+    ``repeat`` replicates the documents table with disjoint doc_id ranges
+    (each replica re-salted per its new doc_id -> independent corpus mass)
+    so benchmarks can scale input volume deterministically.  No ground
+    truth is computed — use :func:`synthesize_corpus` for truth-bearing
+    fixtures.  Cached+manifested like synthesize_corpus.
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-g{GENERATOR_VERSION}-{seed}-r{repeat}-pages")
+    root = os.path.join(out_dir, tag)
+    manifest = os.path.join(root, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return json.load(f)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        if repeat == 1:
+            return batch
+        parts = []
+        for r in range(repeat):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = batch.set_column(
+                batch.column_names.index("doc_id"), "doc_id",
+                pa.array(ids + r * 10_000_000, pa.int64()))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    pages = (docs.map_batches(replicate, batch_format="pyarrow")
+             .map_batches(lambda b: expand_documents_batch(b, seed=seed),
+                          batch_format="pyarrow", batch_size=512))
+    tmp = root + ".tmp"
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    pages.write_parquet(tmp)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.replace(tmp, root)
+    info = {"root": root, "pages": root, "repeat": repeat}
+    with open(manifest + ".tmp", "w") as f:
+        json.dump(info, f)
+    os.replace(manifest + ".tmp", manifest)
+    return info
+
+
 def synthesize_corpus(sf_dir: str, out_dir: str, cfg: PipelineConfig,
                       seed: int = 31337) -> dict:
     """Materialize pages + ground truth parquet under ``out_dir`` (cached).

@@ -30,14 +30,23 @@ from eridu_ray.kernels.text import extract_text, normalize_text
 _ONE = np.uint64(1)
 
 
-def _winnow_from_hashes(positional: np.ndarray, window: int) -> np.ndarray:
-    """Winnowing fingerprints from precomputed positional shingle hashes."""
-    if positional.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    if positional.size <= window:
-        return np.unique(positional.min(keepdims=True))
-    wins = np.lib.stride_tricks.sliding_window_view(positional, window)
-    return np.unique(wins.min(axis=1))
+def _span_fingerprints(text_norm: str, positional: np.ndarray,
+                       window: int, seed: int) -> np.ndarray:
+    """Substring-stage candidate fingerprints: winnow bigrams ∪ CDC chunk
+    hashes (see kernels.shingle docstrings for the two guarantees — the
+    union covers each family's rare miss case)."""
+    from eridu_ray.kernels.hashing import splitmix64
+    from eridu_ray.kernels.shingle import cdc_fingerprints, winnow_select
+
+    sel = winnow_select(positional, window=window)
+    if sel.size == 0:
+        bigrams = np.empty(0, dtype=np.uint64)
+    elif sel.size == 1:
+        bigrams = splitmix64(sel)
+    else:
+        bigrams = splitmix64(splitmix64(sel[:-1]) ^ sel[1:])
+    cdc = cdc_fingerprints(text_norm, positional, seed=seed)
+    return np.unique(np.concatenate([bigrams, cdc]))
 
 
 def _as_i63(u: np.ndarray) -> np.ndarray:
@@ -69,8 +78,8 @@ class SignatureStage:
         positional = [shingle_hashes(t, k=cfg.shingle_k, seed=cfg.seed)
                       for t in norm]
         sets = [np.unique(p) for p in positional]
-        winnows = [_winnow_from_hashes(p, cfg.winnow_window)
-                   for p in positional]
+        winnows = [_span_fingerprints(t, p, cfg.winnow_window, cfg.seed)
+                   for t, p in zip(norm, positional)]
 
         sigs = minhash_signatures_batch(sets, self.a, self.b)  # (n, P) u64
         simh = simhash_batch(sets)  # (n,) u64

@@ -52,22 +52,36 @@ def attach_shingles(candidates, signatures, cfg: PipelineConfig,
     return out  # join drops the right-side key columns itself
 
 
-def jaccard_batch(batch: pa.Table) -> pa.Table:
-    """Add exact 'jaccard' column from sh_a/sh_b (sorted-unique uint64)."""
+def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
+                  keep_hi: float | None = None) -> pa.Table:
+    """Add exact 'jaccard' column from sh_a/sh_b (uint64-LE blobs).
+
+    When (keep_lo, keep_hi) is given, sh_a/sh_b are retained (nulled
+    outside the [keep_lo, keep_hi) window) so the borderline scorer stage
+    can consume them directly without re-joining the signature table —
+    two shuffles saved per run.  Otherwise the blobs are dropped.
+    """
     n = batch.num_rows
     out = np.empty(n, dtype=np.float64)
-    if n:
-        blobs_a = batch["sh_a"].to_pylist()
-        blobs_b = batch["sh_b"].to_pylist()
-        for i in range(n):
-            a = blob_to_u64(blobs_a[i])
-            b = blob_to_u64(blobs_b[i])
-            if a.size == 0 and b.size == 0:
-                out[i] = 1.0
-            elif a.size == 0 or b.size == 0:
-                out[i] = 0.0
-            else:
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                out[i] = inter / (a.size + b.size - inter)
-    batch = batch.drop_columns(["sh_a", "sh_b"])
+    blobs_a = batch["sh_a"].to_pylist() if n else []
+    blobs_b = batch["sh_b"].to_pylist() if n else []
+    for i in range(n):
+        a = blob_to_u64(blobs_a[i])
+        b = blob_to_u64(blobs_b[i])
+        if a.size == 0 and b.size == 0:
+            out[i] = 1.0
+        elif a.size == 0 or b.size == 0:
+            out[i] = 0.0
+        else:
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out[i] = inter / (a.size + b.size - inter)
+    if keep_lo is None:
+        batch = batch.drop_columns(["sh_a", "sh_b"])
+    else:
+        keep = (out >= keep_lo) & (out < keep_hi)
+        kept_a = [blobs_a[i] if keep[i] else None for i in range(n)]
+        kept_b = [blobs_b[i] if keep[i] else None for i in range(n)]
+        batch = batch.drop_columns(["sh_a", "sh_b"])
+        batch = batch.append_column("sh_a", pa.array(kept_a, pa.binary()))
+        batch = batch.append_column("sh_b", pa.array(kept_b, pa.binary()))
     return batch.append_column("jaccard", pa.array(out))

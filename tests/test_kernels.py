@@ -156,8 +156,10 @@ def test_simhash_chunks_pigeonhole():
 
 def test_winnowing_shared_span_guarantee():
     k, w = 5, 64
-    shared = "this is a long shared span of text that appears verbatim in both documents and easily exceeds the window length guarantee threshold"
-    assert len(shared) >= w + k - 1
+    shared = ("this is a long shared span of text that appears verbatim in "
+              "both documents and easily exceeds the bigram window length "
+              "guarantee threshold of two windows plus k minus one chars")
+    assert len(shared) >= 2 * w + k - 1
     a = "AAAA prefix junk " * 5 + shared + " trailing junk AAAA"
     b = "BBBB other start " * 7 + shared + " different tail BBBB"
     fa = shingle.winnow_fingerprints(a, k=k, window=w)
@@ -165,6 +167,18 @@ def test_winnowing_shared_span_guarantee():
     assert np.intersect1d(fa, fb).size >= 1
     # fingerprints are sparse: far fewer than one per position
     assert fa.size < len(a) / 8
+
+
+def test_winnowing_no_common_vocab_collision():
+    # docs built from a shared vocabulary but no long shared span must
+    # share no bigram fingerprints (the 135k-junk-pairs regression)
+    k, w = 5, 64
+    vocab = [f"word{i}" for i in range(40)]
+    a = " ".join(vocab[(i * 7) % 40] for i in range(200))
+    b = " ".join(vocab[(i * 11 + 3) % 40] for i in range(200))
+    fa = shingle.winnow_fingerprints(a, k=k, window=w)
+    fb = shingle.winnow_fingerprints(b, k=k, window=w)
+    assert np.intersect1d(fa, fb).size == 0
 
 
 def test_longest_common_substring():
