@@ -45,14 +45,17 @@ def run_bench() -> dict:
     from eridu_ray.pipelines.dedup import run_dedup
     from eridu_ray.sources.synth import synthesize_pages_ray
 
-    cfg = PipelineConfig(num_partitions=max(8, NUM_CPUS))
+    cfg = PipelineConfig(num_partitions=min(16, max(4, NUM_CPUS)))
 
     # fixture generation + page-cache warm-up are untimed
     info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT)
-    n_pages = rd.read_parquet(info["pages"]).count()
+    nblocks = NUM_CPUS * 2  # split files so the read fans out
+    n_pages = rd.read_parquet(info["pages"],
+                              override_num_blocks=nblocks).count()
 
     t0 = time.perf_counter()
-    res = run_dedup(rd.read_parquet(info["pages"]), cfg)
+    res = run_dedup(rd.read_parquet(info["pages"],
+                                    override_num_blocks=nblocks), cfg)
     n_labels = res.labels.count()
     flagship_sec = time.perf_counter() - t0
     assert n_labels == n_pages, (n_labels, n_pages)

@@ -45,6 +45,12 @@ class PipelineConfig:
     scorer_batch_size: int = 1024
     scorer_concurrency: tuple = (1, 8)  # actor-pool size (min, max)
     num_partitions: int = 32    # hash-join / shuffle partition count
+    cc_partitions: int = 8      # CC-round joins: label tables are far
+                                # smaller than the corpus; fewer partitions
+                                # = fewer aggregator actors per round
+    cc_driver_max_edges: int = 5_000_000  # below this, exact union-find on
+                                # the driver (16 B/edge); above, distributed
+                                # label propagation
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None  # None => no checkpoints
@@ -65,7 +71,8 @@ class PipelineConfig:
         d = asdict(self)
         # layout/perf knobs don't change results
         for k in ("batch_size", "scorer_batch_size", "scorer_concurrency",
-                  "num_partitions", "checkpoint_dir"):
+                  "num_partitions", "cc_partitions", "cc_driver_max_edges",
+                  "checkpoint_dir"):
             d.pop(k)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

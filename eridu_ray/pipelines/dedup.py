@@ -25,7 +25,8 @@ import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
 from eridu_ray.stages import candidates as cand
-from eridu_ray.stages.components import label_propagation, relabel_by_min_url
+from eridu_ray.stages.components import (connected_components_auto,
+                                          relabel_by_min_url)
 from eridu_ray.stages.scorer import PairScorer
 from eridu_ray.stages.signatures import SignatureStage
 from eridu_ray.stages.verify import attach_shingles, jaccard_batch
@@ -175,7 +176,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
 
     # --- connected components + canonical labels -------------------------
     def build_labels():
-        cc = label_propagation(
+        cc = connected_components_auto(
             edges.select_columns(["node_a", "node_b"]), cfg)
         nodes = signatures.select_columns(["url", "node_id"])
         joined = nodes.join(cc, join_type="left_outer",
@@ -247,12 +248,13 @@ def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
     min_span = cfg.min_shared_span
 
     def lcs_batch(batch: pa.Table) -> pa.Table:
-        from eridu_ray.kernels.shingle import longest_common_substring_len
+        from eridu_ray.kernels.shingle import shared_run_length
 
         srcs = batch["src"].to_pylist()
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
-        spans = [longest_common_substring_len(x, y) if "winnow" in s else 0
+        spans = [shared_run_length(x, y, min_len=min_span)
+                 if "winnow" in s else 0
                  for s, x, y in zip(srcs, ta, tb)]
         # canonical orientation: url_a < url_b (FIXTURES.md F2)
         ua = batch["url_a"].to_pylist()

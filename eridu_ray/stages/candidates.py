@@ -40,8 +40,11 @@ def _pairs_table(na, nb, ua, ub, src: str) -> pa.Table:
         schema=_PAIR_SCHEMA)
 
 
+_EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()
+
+
 def empty_pairs() -> pa.Table:
-    return _PAIR_SCHEMA.empty_table()
+    return _EMPTY_PAIRS
 
 
 def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,

@@ -84,16 +84,31 @@ def label_propagation(edges, cfg: PipelineConfig,
         return total
 
     prev_sum = wrapped_sum(labels)
+    converged = False
     for rnd in range(cfg.max_cc_rounds):
         msgs = (edges_bidir
                 .join(labels, join_type="inner",
-                      num_partitions=cfg.num_partitions,
+                      num_partitions=cfg.cc_partitions,
                       on=("src",), right_on=("node",))
                 .select_columns(["dst", "label"])
                 .rename_columns({"dst": "node"}))
         merged = labels.select_columns(["node", "label"]).union(msgs)
-        new_labels = merged.groupby("node").min("label").rename_columns(
-            {"min(label)": "label"}).materialize()
+        l1 = merged.groupby("node").min("label").rename_columns(
+            {"min(label)": "label"})
+        # pointer jumping: label <- label(label).  Every label value is a
+        # node id present in l1 (labels are mins over node ids), so the
+        # inner self-join is total.  Turns diameter-many rounds into
+        # O(log diameter) — a plain min-propagation silently missed
+        # fixpoint on sparse high-diameter graphs within the round cap.
+        jump_map = l1.rename_columns(
+            {"node": "jkey", "label": "jlabel"}).select_columns(
+            ["jkey", "jlabel"])
+        new_labels = (l1.join(jump_map, join_type="inner",
+                              num_partitions=cfg.cc_partitions,
+                              on=("label",), right_on=("jkey",))
+                      .select_columns(["node", "jlabel"])
+                      .rename_columns({"jlabel": "label"})
+                      .materialize())
         new_sum = wrapped_sum(new_labels)
         if on_round is not None:
             on_round(rnd, new_labels, new_sum)
@@ -101,25 +116,66 @@ def label_propagation(edges, cfg: PipelineConfig,
         labels, prev_sum = new_labels, new_sum
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge within "
+            f"{cfg.max_cc_rounds} rounds (graph diameter > 2^rounds?)")
     return labels
 
 
+def connected_components_auto(edges, cfg: PipelineConfig,
+                              n_edges: int | None = None):
+    """Scale-dispatched CC: (node_a, node_b) -> (node, label) Dataset.
+
+    The deduped dup-edge list is orders of magnitude smaller than the
+    corpus (only true duplicates), so below ``cc_driver_max_edges`` the
+    exact union-find runs driver-side on two int64 columns (16 B/edge —
+    80 MB at the 5M default) and skips ~6 rounds of join+groupby barriers;
+    the labels are identical by construction (canonical min node id).
+    Above the threshold — the 10^12-doc regime — the distributed
+    label-propagation path runs.  Both paths are covered by tests.
+    """
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges > cfg.cc_driver_max_edges:
+        return label_propagation(edges, cfg)
+
+    import numpy as np
+
+    from eridu_ray.kernels.unionfind import UnionFind
+
+    uf = UnionFind()
+    for b in edges.select_columns(["node_a", "node_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=262144):
+        for a_, b_ in zip(b["node_a"].to_numpy(zero_copy_only=False),
+                          b["node_b"].to_numpy(zero_copy_only=False)):
+            uf.union(int(a_), int(b_))
+    comp = uf.components()
+    import ray.data
+
+    nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+    labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "label": pa.array(labels)}))
+
+
 def relabel_by_min_url(labels_with_urls, cfg: PipelineConfig):
-    """(url, node_id, label) -> (url, component, component_size).
+    """(url, label) -> (url, component, component_size).
 
     Canonical, human-stable component id = lexicographic min url in the
-    component (FIXTURES.md F3), assigned in one groupby(label) pass.
+    component (FIXTURES.md F3).  One vectorized grouped aggregate
+    (min url + count per label) joined back — NOT per-group Python
+    (tens of thousands of groups = tens of thousands of interpreter
+    calls under map_groups).
     """
-    def pick(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
 
-        comp = pc.min(group["url"]).as_py()
-        n = group.num_rows
-        return pa.table({
-            "url": group["url"],
-            "component": pa.array([comp] * n, pa.string()),
-            "component_size": pa.array([n] * n, pa.int64()),
-        })
-
-    return labels_with_urls.groupby("label").map_groups(
-        pick, batch_format="pyarrow")
+    per_label = (labels_with_urls.groupby("label")
+                 .aggregate(Min("url"), Count())
+                 .rename_columns({"min(url)": "component",
+                                  "count()": "component_size",
+                                  "label": "label_key"}))
+    joined = labels_with_urls.join(
+        per_label, join_type="inner", num_partitions=cfg.cc_partitions,
+        on=("label",), right_on=("label_key",))
+    return joined.select_columns(["url", "component", "component_size"])
