@@ -51,6 +51,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs = dict(build_queries())
     qs["dedup_flagship"] = _q_dedup_flagship
+
+    # text-dedup operator family over documents (rows-only checks; brute
+    # -force oracles live in tests/test_ops.py)
+    from eridu_ray.pipelines import text_dedup as td
+
+    qs["text_minhash_pairs"] = td.minhash_lsh_pairs
+    qs["text_simhash_pairs"] = td.simhash_pairs
+    qs["text_ngram_jaccard_pairs"] = td.ngram_jaccard_pairs
+    qs["text_exact_hash_pairs"] = td.exact_hash_pairs
+
+    # ANN over embeddings (rows-only; IVF recall gated in tests)
+    def _ann_ivf(sf_dir: str):
+        import ray.data as rd
+
+        from eridu_ray.stages.ann import ivf_topk
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(emb, [0, 1, 2, 3, 4], k=10).drop_columns(["sim"])
+
+    qs["ann_ivf_topk"] = _ann_ivf
+
+    # multimodal stub stages (deterministic fake decode; rows-only)
+    from eridu_ray.stages import multimodal as mm
+
+    qs["multimodal_decode"] = lambda sf: mm.decode_images(sf).drop_columns(
+        ["thumb"])
+    qs["multimodal_frames"] = mm.sample_frames
     return qs
 
 

@@ -1,0 +1,142 @@
+"""Dedup operator family over a plain text table (documents.parquet).
+
+Each function is a standalone ``queries()`` entry exposing one dedup
+technique from the global inventory — exact-hash, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine — as its own pipeline over
+``documents(doc_id, text, ...)``.  They reuse the flagship stage library
+(signatures/candidates/verify) with ``url = str(doc_id)``; rows-only
+correctness checks at the driver, brute-force oracles in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.stages import candidates as cand
+from eridu_ray.stages.signatures import SignatureStage
+from eridu_ray.stages.verify import attach_shingles, jaccard_batch
+
+
+def _documents_as_pages(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(b["doc_id"], pa.string()),
+            "text": b["text"],
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _signatures(sf_dir: str, cfg: PipelineConfig):
+    stage = SignatureStage(cfg)
+    return _documents_as_pages(sf_dir).map_batches(
+        lambda b: stage(b), batch_format="pyarrow",
+        batch_size=cfg.batch_size)
+
+
+def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification:
+    (doc_id_a, doc_id_b, jaccard) for jaccard >= cfg.dup_jaccard."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    sigs = _signatures(sf_dir, cfg).materialize()
+    explode = cand.BandExploder(cfg)
+    pairs = (sigs.filter(expr="n_shingles > 0")
+             .map_batches(lambda b: explode(b), batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+             .groupby("band_key")
+             .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
+                         batch_format="pyarrow")
+             .groupby(["node_a", "node_b"])
+             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    verified = attach_shingles(pairs, sigs, cfg).map_batches(
+        jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    out = verified.filter(expr=f"jaccard >= {cfg.dup_jaccard}")
+    return _pairs_out(out)
+
+
+def simhash_pairs(sf_dir: str, cfg: PipelineConfig | None = None):
+    """SimHash near-exact pairs: hamming(simhash) <= cfg.simhash_max_hamming
+    via chunked pigeonhole buckets -> (doc_id_a, doc_id_b)."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    sigs = _signatures(sf_dir, cfg)
+    explode = cand.SimhashChunkExploder(cfg)
+    pairs = (sigs.filter(expr="n_shingles > 0")
+             .map_batches(lambda b: explode(b), batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+             .groupby("chunk_key")
+             .map_groups(cand.make_simhash_pairs_fn(
+                 cfg.band_group_cap, cfg.simhash_max_hamming),
+                 batch_format="pyarrow")
+             .groupby(["node_a", "node_b"])
+             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    return _pairs_out(pairs, with_jaccard=False)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        cfg: PipelineConfig | None = None):
+    """n-gram Jaccard pairs above ``threshold``: LSH candidates verified by
+    exact char-5-gram Jaccard (lower threshold than the dup cut — the
+    'weaker similarity join' operator)."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    sigs = _signatures(sf_dir, cfg).materialize()
+    explode = cand.BandExploder(cfg)
+    pairs = (sigs.filter(expr="n_shingles > 0")
+             .map_batches(lambda b: explode(b), batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+             .groupby("band_key")
+             .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
+                         batch_format="pyarrow")
+             .groupby(["node_a", "node_b"])
+             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    verified = attach_shingles(pairs, sigs, cfg).map_batches(
+        jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return _pairs_out(verified.filter(expr=f"jaccard >= {threshold}"))
+
+
+def exact_hash_pairs(sf_dir: str, cfg: PipelineConfig | None = None):
+    """Exact dedup via content hash -> (doc_id_a, doc_id_b) star pairs."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    sigs = _signatures(sf_dir, cfg)
+    tagged = sigs.groupby("chash").map_groups(
+        cand.exact_groups_fn, batch_format="pyarrow")
+    dup = tagged.filter(expr="is_rep == False")
+
+    schema = pa.schema([("doc_id_a", pa.int64()),
+                        ("doc_id_b", pa.int64())])
+
+    def out(b: pa.Table) -> pa.Table:
+        a = [int(u) for u in b["rep_url"].to_pylist()]
+        c = [int(u) for u in b["url"].to_pylist()]
+        lo = np.minimum(a, c) if len(a) else np.array([], np.int64)
+        hi = np.maximum(a, c) if len(a) else np.array([], np.int64)
+        return pa.table({"doc_id_a": pa.array(lo, pa.int64()),
+                         "doc_id_b": pa.array(hi, pa.int64())})
+
+    pairs = dup.map_batches(out, batch_format="pyarrow")
+    # exact-dup pair sets are tiny; collect with an explicit schema so an
+    # all-empty result still carries columns (Ray drops empty schemas)
+    return pa.concat_tables(
+        [schema.empty_table()]
+        + [b.cast(schema)
+           for b in pairs.iter_batches(batch_format="pyarrow")])
+
+
+def _pairs_out(ds, with_jaccard: bool = True):
+    def f(b: pa.Table) -> pa.Table:
+        a = np.array([int(u) for u in b["url_a"].to_pylist()], np.int64)
+        c = np.array([int(u) for u in b["url_b"].to_pylist()], np.int64)
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        cols = {"doc_id_a": pa.array(lo), "doc_id_b": pa.array(hi)}
+        if with_jaccard and "jaccard" in b.column_names:
+            cols["jaccard"] = b["jaccard"]
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages (codec state loaded once per actor).
+The image/audio libraries are NOT in this environment, so the decode step
+is stubbed: ``decoder="fake"`` produces deterministic pseudo-decodes
+(seeded from the payload hash) with the real schema, batch shapes and
+actor lifecycle; ``decoder="pil"``/``"ffmpeg"`` raise NotImplementedError
+with the dependency named, so the Ray-side plumbing is real and tested
+while the codec is a drop-in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eridu_ray.kernels.hashing import hash_bytes_u64
+
+META_SCHEMA = pa.schema([
+    ("payload_id", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+])
+
+
+class ImageDecoder:
+    """Actor-pool stage: binary payload -> decoded metadata + thumbnail.
+
+    __init__ loads codec state once per actor (reference pattern: model
+    loaded once per process, eridu/etl/compare.py:32-61).  Output adds
+    width/height/channels plus a ``thumb`` fixed-size float vector (the
+    resize/feature step), all deterministic under the fake decoder.
+    """
+
+    THUMB = 8  # 8x8 grayscale thumbnail -> 64 floats
+
+    def __init__(self, decoder: str = "fake", seed: int = 0):
+        self.seed = seed
+        if decoder == "fake":
+            self._decode = self._decode_fake
+        elif decoder == "pil":  # pragma: no cover - not in this container
+            raise NotImplementedError(
+                "PIL/pillow is not installed in this environment; "
+                "use decoder='fake' or install pillow")
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _decode_fake(self, payload: bytes):
+        h = hash_bytes_u64(payload, seed=self.seed)
+        rng = np.random.default_rng([self.seed, h & 0x7FFFFFFF])
+        w = 64 + int(h % 512)
+        hgt = 64 + int((h >> 16) % 512)
+        thumb = rng.random(self.THUMB * self.THUMB, dtype=np.float32)
+        return w, hgt, 3, thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ids = batch["payload_id"].to_pylist()
+        n = len(payloads)
+        ws = np.empty(n, np.int32)
+        hs = np.empty(n, np.int32)
+        cs = np.empty(n, np.int32)
+        thumbs = np.empty((n, self.THUMB * self.THUMB), np.float32)
+        for i, p in enumerate(payloads):
+            ws[i], hs[i], cs[i], thumbs[i] = self._decode(p or b"")
+        return pa.table({
+            "payload_id": pa.array(ids, pa.string()),
+            "payload_bytes": pa.array(
+                [len(p or b"") for p in payloads], pa.int64()),
+            "width": pa.array(ws),
+            "height": pa.array(hs),
+            "channels": pa.array(cs),
+            "thumb": pa.FixedSizeListArray.from_arrays(
+                pa.array(thumbs.reshape(-1)), self.THUMB * self.THUMB),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: 'video' payload -> one row per sampled frame.
+
+    Exploding map (1 -> N rows): deterministic frame positions at
+    ``stride`` over the fake duration derived from the payload hash.
+    """
+
+    def __init__(self, stride: int = 10, seed: int = 0):
+        self.stride = stride
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offsets = [], [], []
+        for pid, payload in zip(batch["payload_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            h = hash_bytes_u64(payload or b"", seed=self.seed)
+            n_frames = 1 + int(h % 100)
+            for f in range(0, n_frames, self.stride):
+                ids.append(pid)
+                frames.append(f)
+                offsets.append(f * 1000)  # ms
+        return pa.table({
+            "payload_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(frames, pa.int32()),
+            "offset_ms": pa.array(offsets, pa.int64()),
+        })
+
+
+def documents_as_payloads(sf_dir: str):
+    """Adapter: documents table -> (payload_id, payload) binary dataset
+    (the testdata has no real media; text bytes stand in as payloads)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "payload_id": pc.cast(b["doc_id"], pa.string()),
+            "payload": pc.cast(b["text"], pa.binary()),
+        })
+
+    return ds.map_batches(to_payload, batch_format="pyarrow")
+
+
+def decode_images(sf_dir: str, concurrency=(1, 4), batch_size: int = 256):
+    """Actor-pool decode over the payload dataset (queries() entry)."""
+    return documents_as_payloads(sf_dir).map_batches(
+        ImageDecoder, fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def sample_frames(sf_dir: str, concurrency=(1, 4), batch_size: int = 256):
+    return documents_as_payloads(sf_dir).map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": 10},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -69,9 +69,11 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        htmls = batch["html"].to_pylist()
         urls = batch["url"].to_pylist()
-        texts = [extract_text(h) for h in htmls]
+        if "html" in batch.column_names:
+            texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        else:  # pre-extracted text input (e.g. the documents table)
+            texts = batch["text"].to_pylist()
         norm = [normalize_text(t) for t in texts]
         # positional shingle hashes computed once, reused for the shingle
         # set, and for the winnowing fingerprints of the substring stage

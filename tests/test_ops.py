@@ -1,0 +1,175 @@
+"""Tests for the wider operator set: text dedup family, ANN, multimodal
+stubs, scorer determinism (SURVEY.md §2 + global training-data ops)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from eridu_ray.config import PipelineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- text dedup family ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def brute_dup_pairs():
+    """Brute-force char-5-gram Jaccard >= 0.8 pairs over sf0.001 docs."""
+    from eridu_ray.kernels.shingle import jaccard, shingle_set
+    from eridu_ray.kernels.text import normalize_text
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    sets = [shingle_set(normalize_text(t), 5, 31337)
+            for t in docs["text"].to_pylist()]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if min(sets[i].size, sets[j].size) == 0:
+                continue
+            if jaccard(sets[i], sets[j]) >= 0.8:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_minhash_lsh_pairs_vs_brute(brute_dup_pairs):
+    from eridu_ray.pipelines.text_dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(SF, PipelineConfig(num_partitions=4)).to_pandas()
+    got_pairs = set(zip(got.doc_id_a, got.doc_id_b))
+    # precision: every reported pair is exact-verified => subset of brute
+    assert got_pairs <= brute_dup_pairs
+    # recall >= 0.99 (LSH at b=16/r=8 over j>=0.8)
+    if brute_dup_pairs:
+        rec = len(got_pairs & brute_dup_pairs) / len(brute_dup_pairs)
+        assert rec >= 0.99, rec
+    assert (got.jaccard >= 0.8).all()
+
+
+def test_simhash_pairs_runs_and_canonical():
+    from eridu_ray.pipelines.text_dedup import simhash_pairs
+
+    got = simhash_pairs(SF, PipelineConfig(num_partitions=4)).to_pandas()
+    assert (got.doc_id_a < got.doc_id_b).all() or len(got) == 0
+
+
+def test_ngram_jaccard_pairs_threshold():
+    from eridu_ray.pipelines.text_dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(
+        SF, threshold=0.5, cfg=PipelineConfig(num_partitions=4)).to_pandas()
+    assert (got.jaccard >= 0.5).all()
+    # 0.5-threshold must be a superset of the 0.8 dup set
+    from eridu_ray.pipelines.text_dedup import minhash_lsh_pairs
+
+    dup = minhash_lsh_pairs(SF, PipelineConfig(num_partitions=4)).to_pandas()
+    assert set(zip(dup.doc_id_a, dup.doc_id_b)) <= \
+        set(zip(got.doc_id_a, got.doc_id_b))
+
+
+# --- ANN ------------------------------------------------------------------
+
+def test_ivf_recall_vs_brute():
+    import ray.data as rd
+
+    from eridu_ray.stages.ann import brute_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = brute_topk(emb, qids, k=10).to_pandas()
+    ivf = ivf_topk(emb, qids, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recs = []
+    for q in qids:
+        want = set(brute[brute.query_id == q].vec_id)
+        got = set(ivf[ivf.query_id == q].vec_id)
+        recs.append(len(want & got) / len(want))
+    assert np.mean(recs) >= 0.5, recs  # nprobe=4 of 8 cells
+    # brute is deterministic and self-consistent
+    brute2 = brute_topk(emb, qids, k=10).to_pandas()
+    assert brute.sort_values(["query_id", "vec_id"]).reset_index(
+        drop=True).equals(
+        brute2.sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
+# --- multimodal stubs -----------------------------------------------------
+
+def test_image_decoder_stub_deterministic():
+    from eridu_ray.stages.multimodal import ImageDecoder
+
+    batch = pa.table({
+        "payload_id": pa.array(["a", "b", "c"]),
+        "payload": pa.array([b"img-bytes-1", b"img-bytes-2", None],
+                            pa.binary()),
+    })
+    d1, d2 = ImageDecoder(), ImageDecoder()
+    out1, out2 = d1(batch), d2(batch)
+    assert out1.equals(out2)  # fresh actors produce identical decodes
+    assert out1.column_names == ["payload_id", "payload_bytes", "width",
+                                 "height", "channels", "thumb"]
+    assert out1["payload_bytes"].to_pylist() == [11, 11, 0]
+    assert all(w >= 64 for w in out1["width"].to_pylist())
+
+
+def test_image_decoder_real_backend_gated():
+    from eridu_ray.stages.multimodal import ImageDecoder
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        ImageDecoder(decoder="pil")
+    with pytest.raises(ValueError):
+        ImageDecoder(decoder="nope")
+
+
+def test_frame_sampler_explodes():
+    from eridu_ray.stages.multimodal import FrameSampler
+
+    batch = pa.table({
+        "payload_id": pa.array(["v1"]),
+        "payload": pa.array([b"video-bytes"], pa.binary()),
+    })
+    out = FrameSampler(stride=10)(batch)
+    assert out.num_rows >= 1
+    assert (np.diff(out["frame_index"].to_numpy(zero_copy_only=False))
+            == 10).all()
+
+
+def test_multimodal_actor_pool_pipeline():
+    from eridu_ray.stages.multimodal import decode_images
+
+    out = decode_images(SF, concurrency=(1, 2), batch_size=128).to_pandas()
+    assert len(out) == 500
+    assert out.payload_id.is_unique
+
+
+# --- scorer ---------------------------------------------------------------
+
+def test_scorer_deterministic_and_batch_invariant():
+    from eridu_ray.kernels.shingle import shingle_set
+    from eridu_ray.stages.scorer import PairScorer
+
+    texts_a = ["the quick brown fox jumps over the lazy dog " * 3,
+               "completely different content about engines " * 3]
+    texts_b = ["the quick brown fox jumps over the lazy cat " * 3,
+               "unrelated text concerning astronomy and stars " * 3]
+    blobs_a = [shingle_set(t, 5, 31337).tobytes() for t in texts_a]
+    blobs_b = [shingle_set(t, 5, 31337).tobytes() for t in texts_b]
+    batch = pa.table({"sh_a": pa.array(blobs_a, pa.binary()),
+                      "sh_b": pa.array(blobs_b, pa.binary())})
+    s1 = PairScorer()(batch)["similarity"].to_pylist()
+    s2 = PairScorer()(batch)["similarity"].to_pylist()
+    assert s1 == s2
+    # similar pair scores higher than dissimilar pair; range [0, 1]
+    assert s1[0] > s1[1]
+    assert all(0.0 <= x <= 1.0 for x in s1)
+    # batch-size invariance: row-wise scoring
+    one = PairScorer()(batch.slice(0, 1))["similarity"].to_pylist()
+    assert one[0] == pytest.approx(s1[0])
+
+
+def test_threshold_batch():
+    from eridu_ray.stages.scorer import threshold_batch
+
+    b = pa.table({"similarity": pa.array([0.1, 0.95, 0.9])})
+    out = threshold_batch(b, 0.9)
+    assert out["predicted_match"].to_pylist() == [False, True, True]
