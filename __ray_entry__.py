@@ -78,6 +78,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["multimodal_decode"] = lambda sf: mm.decode_images(sf).drop_columns(
         ["thumb"])
     qs["multimodal_frames"] = mm.sample_frames
+
+    # entity-aware split over flagship components (D7/M16; rows-only —
+    # leakage invariant asserted in tests/test_evaluate.py)
+    def _component_split(sf_dir: str):
+        from eridu_ray.stages.evaluate import component_split
+
+        return component_split(_q_dedup_flagship(sf_dir))
+
+    qs["component_split"] = _component_split
     return qs
 
 

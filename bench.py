@@ -45,7 +45,12 @@ def run_bench() -> dict:
     from eridu_ray.pipelines.dedup import run_dedup
     from eridu_ray.sources.synth import synthesize_pages_ray
 
-    cfg = PipelineConfig(num_partitions=min(16, max(4, NUM_CPUS)))
+    # join aggregator actors reserve CPUs; more partitions than CPUS/2
+    # starves upstream map tasks (observed livelock/crawl at 16 parts on
+    # 8 CPUs and 32 parts on 32 CPUs)
+    cfg = PipelineConfig(
+        num_partitions=min(16, max(4, NUM_CPUS // 2)),
+        cc_partitions=min(8, max(2, NUM_CPUS // 4)))
 
     # fixture generation + page-cache warm-up are untimed
     info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT)

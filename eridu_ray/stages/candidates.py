@@ -231,6 +231,65 @@ def make_winnow_pairs_fn(cap: int):
     return winnow_pairs
 
 
+# --- fused bucket explode (one shuffle for all three families) ------------
+
+class FusedBucketExploder:
+    """reps -> (family:int32, key:int64, node_id, url, simhash) rows for
+    the LSH-band, SimHash-chunk and span-fingerprint families at once.
+
+    One map produces all bucket rows and ONE groupby(['family','key'])
+    co-locates them — replacing three separate explode+sort shuffles
+    (each wide op costs seconds of fixed latency regardless of data size,
+    which is what caps small-corpus scaling efficiency).
+    """
+
+    FAM_BAND, FAM_CHUNK, FAM_WINNOW = 0, 1, 2
+
+    def __init__(self, cfg: PipelineConfig):
+        self.band = BandExploder(cfg)
+        self.chunk = SimhashChunkExploder(cfg)
+        self.winnow = WinnowExploder(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.band(batch)
+        c = self.chunk(batch)
+        w = self.winnow(batch)
+        nulls_b = pa.nulls(b.num_rows, pa.int64())
+        nulls_w = pa.nulls(w.num_rows, pa.int64())
+        return pa.concat_tables([
+            pa.table({"family": pa.array(
+                np.full(b.num_rows, self.FAM_BAND, np.int32)),
+                "key": b["band_key"], "node_id": b["node_id"],
+                "url": b["url"], "simhash": nulls_b}),
+            pa.table({"family": pa.array(
+                np.full(c.num_rows, self.FAM_CHUNK, np.int32)),
+                "key": c["chunk_key"], "node_id": c["node_id"],
+                "url": c["url"], "simhash": c["simhash"]}),
+            pa.table({"family": pa.array(
+                np.full(w.num_rows, self.FAM_WINNOW, np.int32)),
+                "key": w["fp_key"], "node_id": w["node_id"],
+                "url": w["url"], "simhash": nulls_w}),
+        ])
+
+
+def make_fused_pairs_fn(cfg: PipelineConfig):
+    """map_groups over groupby(['family','key']): dispatch per family."""
+    band_fn = make_band_pairs_fn(cfg.band_group_cap)
+    sim_fn = make_simhash_pairs_fn(cfg.band_group_cap,
+                                   cfg.simhash_max_hamming)
+    win_fn = make_winnow_pairs_fn(cfg.winnow_group_cap)
+
+    def fused_pairs(group: pa.Table) -> pa.Table:
+        fam = group["family"][0].as_py()
+        if fam == FusedBucketExploder.FAM_BAND:
+            return band_fn(group)
+        if fam == FusedBucketExploder.FAM_CHUNK:
+            return sim_fn(group)
+        return win_fn(group)
+
+    return fused_pairs
+
+
 # --- cross-band pair dedup ------------------------------------------------
 
 def dedup_pairs_fn(group: pa.Table) -> pa.Table:

@@ -115,8 +115,13 @@ class SignatureStage:
                                    cfg.num_perms, dtype=np.int32)),
                 pa.array(sigs.reshape(-1))),
             "simhash": pa.array(simh.view(np.int64)),
-            "shingles": pa.ListArray.from_arrays(
-                pa.array(shingle_offsets), pa.array(shingle_values)),
+            # shingle set as uint64-LE blob: Acero joins reject list
+            # payloads, so this is the join-ready wire format from the
+            # start (decode with np.frombuffer)
+            "shingles": pa.array(
+                [shingle_values[shingle_offsets[i]:
+                                shingle_offsets[i + 1]].tobytes()
+                 for i in range(len(sets))], pa.binary()),
             "winnow": pa.ListArray.from_arrays(
                 pa.array(win_offsets), pa.array(win_values)),
         })

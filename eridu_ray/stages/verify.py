@@ -14,17 +14,6 @@ import numpy as np
 import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
-from eridu_ray.stages.signatures import list_col_to_arrays
-
-
-def _encode_shingle_blob(batch: pa.Table, column: str) -> pa.Table:
-    """list<uint64> column -> binary blob column (Acero joins reject list
-    payloads; a uint64-LE byte blob round-trips losslessly via frombuffer)."""
-    values, offsets = list_col_to_arrays(batch[column])
-    blobs = [values[offsets[i]:offsets[i + 1]].tobytes()
-             for i in range(batch.num_rows)]
-    return batch.drop_columns([column]).append_column(
-        "sh_blob", pa.array(blobs, pa.binary()))
 
 
 def blob_to_u64(buf) -> np.ndarray:
@@ -36,13 +25,12 @@ def attach_shingles(candidates, signatures, cfg: PipelineConfig,
                     column: str = "shingles"):
     """pairs (node_a, node_b, ...) join signatures twice -> + sh_a, sh_b.
 
-    sh_a/sh_b are binary uint64-LE blobs (see _encode_shingle_blob).
+    sh_a/sh_b are binary uint64-LE blobs (the signature stage's native
+    shingle format — decode with blob_to_u64).
     """
-    side = (signatures.select_columns(["node_id", column])
-            .map_batches(_encode_shingle_blob, fn_args=(column,),
-                         batch_format="pyarrow"))
-    a_side = side.rename_columns({"sh_blob": "sh_a", "node_id": "na_key"})
-    b_side = side.rename_columns({"sh_blob": "sh_b", "node_id": "nb_key"})
+    side = signatures.select_columns(["node_id", column])
+    a_side = side.rename_columns({column: "sh_a", "node_id": "na_key"})
+    b_side = side.rename_columns({column: "sh_b", "node_id": "nb_key"})
     out = candidates.join(a_side, join_type="inner",
                           num_partitions=cfg.num_partitions,
                           on=("node_a",), right_on=("na_key",))
