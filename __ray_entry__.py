@@ -87,6 +87,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return component_split(_q_dedup_flagship(sf_dir))
 
     qs["component_split"] = _component_split
+
+    # conformance-checks corpus (F4; sf-independent, rows-only)
+    def _checks(sf_dir: str):
+        from eridu_ray.pipelines.checks import evaluate_checks
+
+        return evaluate_checks()
+
+    qs["checks_conformance"] = _checks
     return qs
 
 

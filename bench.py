@@ -45,9 +45,9 @@ def run_bench() -> dict:
     from eridu_ray.pipelines.dedup import run_dedup
     from eridu_ray.sources.synth import synthesize_pages_ray
 
-    # join aggregator actors reserve CPUs; more partitions than CPUS/2
-    # starves upstream map tasks (observed livelock/crawl at 16 parts on
-    # 8 CPUs and 32 parts on 32 CPUs)
+    # join aggregator actors reserve a CPU each: partitions above CPUS/2
+    # starve upstream maps (measured livelock); fractional-CPU aggregators
+    # hang outright in ray 2.49 — so shuffle width caps at CPUS/2
     cfg = PipelineConfig(
         num_partitions=min(16, max(4, NUM_CPUS // 2)),
         cc_partitions=min(8, max(2, NUM_CPUS // 4)))
@@ -98,8 +98,9 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    # warm fixture cache + OS page cache with an untimed run
-    one(lo_cpus)
+    # warm fixture cache + OS page cache with an untimed run (at hi_cpus —
+    # warming only needs the fixture generated and files touched)
+    one(hi_cpus)
     lo = one(lo_cpus)
     hi = one(hi_cpus)
     speedup = lo["value"] / hi["value"]

@@ -35,21 +35,16 @@ def simhash_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
     nonempty = np.nonzero(sizes > 0)[0]
     if nonempty.size == 0:
         return out
-    cat = np.concatenate([shingle_sets[i] for i in nonempty])
-    # (n, 64) bit matrix; unpackbits is little-endian per byte — order is a
-    # fixed permutation of bit positions, which is fine (consistent).
-    # Stay uint8 and accumulate via reduceat's dtype: an astype(int64) here
-    # is an 8x allocation (hundreds of MB per batch) and dominated the
-    # signature stage (profiled 3.2s of a 5s batch).
-    bits = np.unpackbits(cat.view(np.uint8).reshape(-1, 8), axis=1,
-                         bitorder="little")
-    offsets = np.zeros(nonempty.size, dtype=np.int64)
-    np.cumsum(sizes[nonempty][:-1], out=offsets[1:])
-    sums = np.add.reduceat(bits, offsets, axis=0,
-                           dtype=np.int64)  # (ndocs_nonempty, 64)
-    majority = (sums * 2 > sizes[nonempty][:, None]).astype(np.uint64)
-    out[nonempty] = (majority << _BIT_SHIFTS[None, :]).sum(axis=1,
-                                                           dtype=np.uint64)
+    # cache-blocked per doc: a doc's (n, 64) uint8 bit matrix is tens of
+    # KB and stays in L2 (batch-wide unpackbits streamed ~100MB+ per
+    # batch and was memory-bandwidth-bound under multi-worker load)
+    for d in nonempty:
+        s = shingle_sets[d]
+        bits = np.unpackbits(s.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")
+        sums = bits.sum(axis=0, dtype=np.int64)  # (64,)
+        majority = (sums * 2 > s.size).astype(np.uint64)
+        out[d] = (majority << _BIT_SHIFTS).sum(dtype=np.uint64)
     return out
 
 
