@@ -65,9 +65,12 @@ def test_query_matches_oracle(name, con):
 
 
 def test_rows_only_queries_run():
+    """Quick smoke of rows-only entries NOT exercised by dedicated tests
+    (text dedup family -> test_ops; flagship/component_split ->
+    test_pipeline/test_evaluate; ANN -> test_ops; multimodal decode ->
+    test_ops).  The driver sweeps every entry at sf0.01 regardless."""
     qs = ENTRYMOD.queries()
-    sqls = ENTRYMOD.oracle_sql()
-    rows_only = [n for n in qs if n not in sqls and n != "dedup_flagship"]
-    for name in rows_only:
+    for name in ("lang_id", "text_exact_hash_pairs", "multimodal_frames",
+                 "checks_conformance"):
         df = _to_pandas(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) > 0, name
