@@ -32,6 +32,17 @@ class PipelineConfig:
     dup_jaccard: float = 0.80       # exact-Jaccard >= this => duplicate edge
     borderline_jaccard: float = 0.60  # [borderline, dup) => scorer refinement
     scorer_threshold: float = 0.90    # stub/SBERT cosine >= this => edge
+    use_scorer_edges: bool = True     # borderline scorer edges in the flagship
+                                      # (semantic: changes the edge set, so it
+                                      # participates in config_hash — a resume
+                                      # with the flag flipped must recompute)
+
+    # --- candidate prefilter (scale: cuts the verify-shuffle traffic) ---
+    # pairs whose byte-sketch MinHash estimate is below
+    # borderline_jaccard - prefilter_margin are dropped BEFORE the
+    # shingle-blob joins; winnow (span) candidates are exempt.  margin set
+    # ~3 sigma of the 128-slot estimate at J=borderline (sigma ~0.044)
+    prefilter_margin: float = 0.15
 
     # --- substring (long shared span) stage ---
     winnow_window: int = 64     # guarantee: shared span >= window+k-1 chars

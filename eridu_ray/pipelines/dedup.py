@@ -54,17 +54,30 @@ def compute_signatures(pages, cfg: PipelineConfig):
 
 
 def run_dedup(pages, cfg: PipelineConfig | None = None,
-              use_scorer_edges: bool = False) -> DedupResult:
+              use_scorer_edges: bool | None = None) -> DedupResult:
     """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
 
     With ``cfg.checkpoint_dir`` set, signatures / verified / edges / labels
     are committed as Parquet checkpoints and a rerun resumes from the last
     completed stage (identical results — see tests/test_resume.py).
+
+    ``use_scorer_edges`` defaults to ``cfg.use_scorer_edges`` (ON: the
+    borderline scorer pool is part of the flagship edge set, reference
+    semantics eridu/train/utils.py:153-235).  Passing an override here
+    rebinds the config — the flag is semantic and participates in
+    ``config_hash()``, so checkpoints written under one setting are never
+    silently resumed under the other.
     """
     import time as _time
 
+    from dataclasses import replace as _dc_replace
+
     cfg = cfg or PipelineConfig()
-    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.config_hash())
+    if use_scorer_edges is not None and \
+            use_scorer_edges != cfg.use_scorer_edges:
+        cfg = _dc_replace(cfg, use_scorer_edges=use_scorer_edges)
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.config_hash(),
+                             input_fingerprint=_input_fingerprint(pages))
     _t = _time.perf_counter()
 
     def _mark(name: str) -> None:
@@ -101,20 +114,28 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     band_explode = cand.BandExploder(cfg)
     sim_explode = cand.SimhashChunkExploder(cfg)
     win_explode = cand.WinnowExploder(cfg)
+    # MinHash-estimate prefilter: sketches are co-located in every bucket,
+    # so hopeless pairs (estimate << borderline) die at emission and never
+    # reach the shingle-blob verify joins — the round-1 measured bandwidth
+    # bottleneck (BASELINE.md).  Winnow/span candidates are exempt (their
+    # whole point is low-Jaccard long-shared-span pairs).
+    est_min = cfg.borderline_jaccard - cfg.prefilter_margin
     minhash_cands = (sig_reps
                      .map_batches(lambda b: band_explode(b),
                                   batch_format="pyarrow",
                                   batch_size=cfg.batch_size)
                      .groupby("band_key")
-                     .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
-                                 batch_format="pyarrow"))
+                     .map_groups(cand.make_band_pairs_fn(
+                         cfg.band_group_cap, est_min=est_min),
+                         batch_format="pyarrow"))
     simhash_cands = (sig_reps
                      .map_batches(lambda b: sim_explode(b),
                                   batch_format="pyarrow",
                                   batch_size=cfg.batch_size)
                      .groupby("chunk_key")
                      .map_groups(cand.make_simhash_pairs_fn(
-                         cfg.band_group_cap, cfg.simhash_max_hamming),
+                         cfg.band_group_cap, cfg.simhash_max_hamming,
+                         est_min=est_min),
                          batch_format="pyarrow"))
     winnow_cands = (sig_reps
                     .map_batches(lambda b: win_explode(b),
@@ -161,7 +182,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         ["node_a", "node_b", "url_a", "url_b", "src"])
 
     edge_parts = [exact_edges, dup_pairs]
-    if use_scorer_edges:
+    if cfg.use_scorer_edges:
         edge_parts.append(scorer_edges)
     edges_all = edge_parts[0]
     for p in edge_parts[1:]:
@@ -202,6 +223,26 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     return DedupResult(signatures=signatures, verified=verified,
                        edges=edges, span_edges=span_edges, labels=labels,
                        counters=dict(ckpt.counters))
+
+
+def _input_fingerprint(pages) -> str:
+    """Stable fingerprint of the input identity for checkpoint validity.
+
+    Source files when the dataset has them (the normal read_parquet path);
+    empty otherwise (in-memory fixtures — config hash alone then guards,
+    as before).  Row counts are recorded per stage at checkpoint-save time.
+    """
+    import hashlib
+    import json
+
+    try:
+        files = sorted(pages.input_files())
+    except Exception:
+        files = []
+    if not files:
+        return ""
+    return hashlib.sha256(
+        json.dumps(files).encode()).hexdigest()[:16]
 
 
 def _exact_edge_batch(batch: pa.Table) -> pa.Table:

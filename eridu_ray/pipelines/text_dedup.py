@@ -42,41 +42,67 @@ def _signatures(sf_dir: str, cfg: PipelineConfig):
         batch_size=cfg.batch_size)
 
 
-def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None):
+def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
+                            src: str, est_min: float | None,
+                            max_hamming: int | None = None,
+                            stats: dict | None = None):
+    """Explode -> hot-bucket pre-count -> salted explode -> exact pairs.
+
+    Pair-emitting ops must not lose pairs in hot buckets, so instead of
+    the flagship's star fallback the buckets over ``band_group_cap`` are
+    triangle-salted (candidates.make_salted_explode): every pair of the
+    original bucket is enumerated exactly once, split across s(s+1)/2
+    bounded sub-buckets.  ``stats`` (optional) records the hot-bucket
+    count and the (always-zero-by-construction) dropped-pair counter.
+    """
+    exploded = (sigs.filter(expr="n_shingles > 0")
+                .map_batches(lambda b: exploder(b), batch_format="pyarrow",
+                             batch_size=cfg.batch_size)).materialize()
+    salts = cand.hot_bucket_salts(exploded, key_col, cfg.band_group_cap)
+    if stats is not None:
+        stats["hot_buckets"] = len(salts)
+        stats["dropped_pairs"] = 0  # salting enumerates every pair
+    salted = exploded.map_batches(
+        cand.make_salted_explode(key_col, salts, cfg.seed),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    return (salted.groupby("salt_key")
+            .map_groups(cand.make_salted_pairs_fn(
+                src, est_min=est_min, max_hamming=max_hamming),
+                batch_format="pyarrow")
+            .groupby(["node_a", "node_b"])
+            .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+
+
+def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None,
+                      stats: dict | None = None):
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
-    (doc_id_a, doc_id_b, jaccard) for jaccard >= cfg.dup_jaccard."""
+    (doc_id_a, doc_id_b, jaccard) for jaccard >= cfg.dup_jaccard.
+
+    Hot LSH buckets are salted (no silent star fallback — pair-level
+    recall holds even when a bucket exceeds band_group_cap), and the
+    co-located sketch estimate prunes pairs far below the verify
+    threshold before the shingle-blob joins."""
     cfg = cfg or PipelineConfig(num_partitions=8)
     sigs = _signatures(sf_dir, cfg).materialize()
-    explode = cand.BandExploder(cfg)
-    pairs = (sigs.filter(expr="n_shingles > 0")
-             .map_batches(lambda b: explode(b), batch_format="pyarrow",
-                          batch_size=cfg.batch_size)
-             .groupby("band_key")
-             .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
-                         batch_format="pyarrow")
-             .groupby(["node_a", "node_b"])
-             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    pairs = _salted_candidate_pairs(
+        sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
+        est_min=cfg.dup_jaccard - cfg.prefilter_margin, stats=stats)
     verified = attach_shingles(pairs, sigs, cfg).map_batches(
         jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
     out = verified.filter(expr=f"jaccard >= {cfg.dup_jaccard}")
     return _pairs_out(out)
 
 
-def simhash_pairs(sf_dir: str, cfg: PipelineConfig | None = None):
+def simhash_pairs(sf_dir: str, cfg: PipelineConfig | None = None,
+                  stats: dict | None = None):
     """SimHash near-exact pairs: hamming(simhash) <= cfg.simhash_max_hamming
-    via chunked pigeonhole buckets -> (doc_id_a, doc_id_b)."""
+    via chunked pigeonhole buckets -> (doc_id_a, doc_id_b); hot chunk
+    buckets salted like the LSH path."""
     cfg = cfg or PipelineConfig(num_partitions=8)
-    sigs = _signatures(sf_dir, cfg)
-    explode = cand.SimhashChunkExploder(cfg)
-    pairs = (sigs.filter(expr="n_shingles > 0")
-             .map_batches(lambda b: explode(b), batch_format="pyarrow",
-                          batch_size=cfg.batch_size)
-             .groupby("chunk_key")
-             .map_groups(cand.make_simhash_pairs_fn(
-                 cfg.band_group_cap, cfg.simhash_max_hamming),
-                 batch_format="pyarrow")
-             .groupby(["node_a", "node_b"])
-             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    sigs = _signatures(sf_dir, cfg).materialize()
+    pairs = _salted_candidate_pairs(
+        sigs, cfg, cand.SimhashChunkExploder(cfg), "chunk_key", "simhash",
+        est_min=None, max_hamming=cfg.simhash_max_hamming, stats=stats)
     return _pairs_out(pairs, with_jaccard=False)
 
 
@@ -87,15 +113,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     'weaker similarity join' operator)."""
     cfg = cfg or PipelineConfig(num_partitions=8)
     sigs = _signatures(sf_dir, cfg).materialize()
-    explode = cand.BandExploder(cfg)
-    pairs = (sigs.filter(expr="n_shingles > 0")
-             .map_batches(lambda b: explode(b), batch_format="pyarrow",
-                          batch_size=cfg.batch_size)
-             .groupby("band_key")
-             .map_groups(cand.make_band_pairs_fn(cfg.band_group_cap),
-                         batch_format="pyarrow")
-             .groupby(["node_a", "node_b"])
-             .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    pairs = _salted_candidate_pairs(
+        sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
+        est_min=threshold - cfg.prefilter_margin)
     verified = attach_shingles(pairs, sigs, cfg).map_batches(
         jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
     return _pairs_out(verified.filter(expr=f"jaccard >= {threshold}"))

@@ -39,10 +39,11 @@ _EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
 # extra filler vocabulary for token substitutions (deterministic)
 _SUBS = [f"zrep{i}" for i in range(64)]
 
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3  # v3: borderline variants whose truth depends on the
+                       # deterministic stub scorer (flagship runs it by default)
 
 
-def _salt_text(text: str, doc_id: int, every: int = 6) -> str:
+def _salt_text(text: str, doc_id: int, every: int = 3) -> str:
     """Interleave per-doc marker tokens so distinct base docs can't be
     accidental near-duplicates of each other.
 
@@ -51,12 +52,26 @@ def _salt_text(text: str, doc_id: int, every: int = 6) -> str:
     per-doc independence, so each base doc gets unique salt tokens every
     ``every`` tokens.  Same-group variants share the salt (they derive from
     the salted text), so within-group similarity is unchanged.
+
+    Salt tokens are HASH-VALUED: structured salts ("s0000072m001") share
+    their zero-scaffolding shingles across docs, which left identical
+    base texts at J≈0.75 — inside the borderline window the scorer
+    adjudicates → false cross-doc merges.  12 fully-random chars every 3
+    tokens cap cross-doc Jaccard of identical base texts near ~0.3,
+    below both the candidate prefilter (~0.45) and the borderline window
+    [0.6, 0.8).
     """
+    from eridu_ray.kernels.hashing import splitmix64
+
     toks = text.split(" ")
+    n_salts = (len(toks) + every - 1) // every
+    mix = np.uint64(doc_id) << np.uint64(20)
+    hs = splitmix64(mix | np.arange(n_salts, dtype=np.uint64))
+    salts = [f"{int(h) & 0xFFFFFFFFFFF:011x}q" for h in hs]
     out = []
     for i, t in enumerate(toks):
         if i % every == 0:
-            out.append(f"s{doc_id:x}m{i // every:x}")
+            out.append(salts[i // every])
         out.append(t)
     return " ".join(out)
 
@@ -65,10 +80,11 @@ def _page_url(source: str, lang: str, doc_id: int, variant: str) -> str:
     return f"https://{source}.example.com/{lang}/doc-{doc_id:08d}/{variant}"
 
 
-def _mutate_tokens(tokens: list[str], rng: np.random.Generator) -> list[str]:
-    """Substitute ~1-3% of tokens (>=1) — a 'near' duplicate edit."""
+def _mutate_tokens(tokens: list[str], rng: np.random.Generator,
+                   lo: float = 0.01, hi: float = 0.03) -> list[str]:
+    """Substitute ~lo..hi of tokens (>=1) — a 'near' duplicate edit."""
     toks = list(tokens)
-    n_edit = max(1, int(len(toks) * rng.uniform(0.01, 0.03)))
+    n_edit = max(1, int(len(toks) * rng.uniform(lo, hi)))
     idx = rng.choice(len(toks), size=min(n_edit, len(toks)), replace=False)
     for i in idx:
         toks[i] = _SUBS[int(rng.integers(0, len(_SUBS)))]
@@ -115,7 +131,18 @@ def expand_documents_batch(batch: pa.Table, seed: int = 31337) -> pa.Table:
                 emit(_page_url(source, lang, doc_id, f"near{v}"),
                      ts0 + 2_000_000 * (v + 1), mtext, lang,
                      boiler=f"chrome-{source}", title=f"doc {doc_id} v{v}")
-        elif r < 0.45:  # long-shared-span page: low jaccard, big substring
+        elif r < 0.52:  # borderline near-dups: heavier edits land exact
+            # Jaccard in/around [borderline, dup) so the TRUTH of the pair
+            # depends on the stub scorer's verdict (F6) — the fixture that
+            # keeps the flagship's scorer stage honest
+            tokens = text.split(" ")
+            for v in range(1 + int(rng.integers(0, 2))):
+                mtext = " ".join(_mutate_tokens(tokens, rng,
+                                                lo=0.03, hi=0.12))
+                emit(_page_url(source, lang, doc_id, f"bord{v}"),
+                     ts0 + 4_000_000 * (v + 1), mtext, lang,
+                     boiler=f"chrome-{source}", title=f"doc {doc_id} b{v}")
+        elif r < 0.57:  # long-shared-span page: low jaccard, big substring
             junk = " ".join(
                 f"pad{int(x)}" for x in rng.integers(0, 9999, len(text) // 6))
             mtext = junk + " " + text + " " + junk
@@ -142,6 +169,16 @@ def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
     Labels are connected components of the match=true graph, canonical id =
     min url (order-independent; SURVEY.md §7.3).
     """
+    from eridu_ray.stages.scorer import HashedEncoder
+
+    enc = HashedEncoder(cfg)
+
+    def stub_sim(sa: np.ndarray, sb: np.ndarray) -> float:
+        values = np.concatenate([sa, sb])
+        offsets = np.array([0, sa.size, sa.size + sb.size], dtype=np.int64)
+        m = enc.embed_shingle_sets(values, offsets)
+        return (float(m[0] @ m[1]) + 1.0) / 2.0
+
     pages = expand_documents_batch(batch, seed=seed)
     doc_of: dict[str, int] = {}
     for url in pages["url"].to_pylist():
@@ -168,9 +205,22 @@ def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
                 ua, ub = urls[iu], urls[ju]
                 jac = jaccard(sets[i], sets[j])
                 is_span = "span" in ua or "span" in ub
-                match = bool(jac >= cfg.dup_jaccard)
+                in_border = (cfg.borderline_jaccard <= jac
+                             < cfg.dup_jaccard)
+                # same rule the pipeline applies: hard dup above the
+                # Jaccard cut; borderline pairs match iff the (shared,
+                # deterministic) scorer agrees — reference semantics of
+                # model-refined matching (eridu/train/utils.py:153-235)
+                if jac >= cfg.dup_jaccard:
+                    match = True
+                elif in_border and cfg.use_scorer_edges:
+                    match = stub_sim(sets[i], sets[j]) >= \
+                        cfg.scorer_threshold
+                else:
+                    match = False
                 kind = ("exact" if jac == 1.0 else
-                        "substring" if is_span else "near")
+                        "substring" if is_span else
+                        "borderline" if in_border else "near")
                 span_true = (longest_common_substring_len(texts[iu],
                                                           texts[ju])
                              if is_span and not match else 0)

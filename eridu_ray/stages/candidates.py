@@ -29,14 +29,22 @@ _PAIR_SCHEMA = pa.schema([
     ("url_a", pa.string()),
     ("url_b", pa.string()),
     ("src", pa.string()),
+    # MinHash Jaccard estimate from the byte sketch co-located at
+    # pair-emission time (null for winnow/span candidates).  Lets the
+    # pipeline drop hopeless pairs BEFORE the shingle-blob verify joins —
+    # the measured shuffle-bandwidth bottleneck (BASELINE.md round 1).
+    ("est", pa.float64()),
 ])
 
 
-def _pairs_table(na, nb, ua, ub, src: str) -> pa.Table:
+def _pairs_table(na, nb, ua, ub, src: str, est=None) -> pa.Table:
+    n = len(na)
+    est_arr = (pa.nulls(n, pa.float64()) if est is None
+               else pa.array(np.asarray(est, dtype=np.float64)))
     return pa.Table.from_arrays(
         [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
          pa.array(ua, pa.string()), pa.array(ub, pa.string()),
-         pa.array([src] * len(na), pa.string())],
+         pa.array([src] * n, pa.string()), est_arr],
         schema=_PAIR_SCHEMA)
 
 
@@ -47,12 +55,45 @@ def empty_pairs() -> pa.Table:
     return _EMPTY_PAIRS
 
 
+def sketch_from_minhash(sigs: np.ndarray) -> pa.Array:
+    """(n, P) uint64 signature matrix -> binary column of P-byte sketches.
+
+    One byte per permutation slot (the low byte of the mixed minhash
+    value).  Slot-agreement over the sketch estimates Jaccard with an
+    upward bias of ~(1-J)/256 (accidental byte collisions) — negligible
+    for prefiltering, and 8x cheaper to ship in every bucket row than the
+    full signature.
+    """
+    by = (sigs & np.uint64(0xFF)).astype(np.uint8)
+    buf, width = by.tobytes(order="C"), by.shape[1]
+    return pa.array([buf[i * width:(i + 1) * width]
+                     for i in range(by.shape[0])], pa.binary())
+
+
+def _sketch_matrix(col) -> np.ndarray | None:
+    """binary sketch column -> (n, P) uint8 matrix (None if absent/null)."""
+    blobs = col.to_pylist()
+    if not blobs or blobs[0] is None:
+        return None
+    return np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(
+        len(blobs), -1)
+
+
 def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
-                      src: str) -> pa.Table:
-    """All-pairs within a bucket (clique if small, star beyond the cap)."""
+                      src: str, sketch: np.ndarray | None = None,
+                      est_min: float | None = None) -> pa.Table:
+    """All-pairs within a bucket (clique if small, star beyond the cap).
+
+    With a sketch matrix, each pair carries its MinHash Jaccard estimate
+    and pairs below ``est_min`` are dropped at emission (identical to
+    filtering after the cross-band dedup, since the sketch — hence the
+    estimate — is the same for a pair no matter which bucket emitted it).
+    """
     order = np.argsort(node_id, kind="stable")
     node_id = node_id[order]
     urls = [urls[i] for i in order]
+    if sketch is not None:
+        sketch = sketch[order]
     n = node_id.shape[0]
     if n < 2:
         return empty_pairs()
@@ -61,8 +102,15 @@ def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
     else:  # star fallback: hub = min node; O(n) pairs, keeps CC recall
         ii = np.zeros(n - 1, dtype=np.int64)
         jj = np.arange(1, n, dtype=np.int64)
+    est = None
+    if sketch is not None:
+        est = (sketch[ii] == sketch[jj]).mean(axis=1)
+        if est_min is not None:
+            keep = est >= est_min
+            ii, jj, est = ii[keep], jj[keep], est[keep]
     return _pairs_table(node_id[ii], node_id[jj],
-                        [urls[i] for i in ii], [urls[j] for j in jj], src)
+                        [urls[i] for i in ii], [urls[j] for j in jj], src,
+                        est=est)
 
 
 # --- exact (content hash) -------------------------------------------------
@@ -71,23 +119,39 @@ def exact_groups_fn(group: pa.Table) -> pa.Table:
     """map_groups over groupby('chash'): emit star edges + one representative.
 
     Output rows are the group's signature rows with an added bool column
-    ``is_rep`` (True exactly once, for the min-node member) and the hub edge
-    target ``rep_node``/``rep_url``; the pipeline splits this into the
+    ``is_rep`` (True once per distinct text) and the hub edge target
+    ``rep_node``/``rep_url``; the pipeline splits this into the
     exact-duplicate edge list and the representative set that feeds LSH —
     one shuffle serves both (reference exact dedup:
     dropDuplicates semantics, eridu/etl/filter.py:51-54).
+
+    Byte-equality is verified INSIDE the hash group: a 63-bit chash
+    collision between distinct texts (expected ~5e4 silent merges at
+    10^12 docs) yields separate sub-groups, each with its own
+    representative — so a collision costs a little LSH work, never a
+    false merge.  Groups are tiny, so the per-text dict is cheap.
     """
     node = group["node_id"].to_numpy(zero_copy_only=False)
-    rep_pos = int(np.argmin(node))
+    urls = group["url"].to_pylist()
     n = group.num_rows
     is_rep = np.zeros(n, dtype=bool)
-    is_rep[rep_pos] = True
+    rep_node = np.empty(n, dtype=np.int64)
+    rep_url: list = [None] * n
+    by_text: dict = {}
+    if n == 1:
+        by_text[0] = [0]
+    else:
+        for i, t in enumerate(group["text"].to_pylist()):
+            by_text.setdefault(t, []).append(i)
+    for idxs in by_text.values():
+        rpos = min(idxs, key=lambda i: node[i])
+        is_rep[rpos] = True
+        for i in idxs:
+            rep_node[i] = node[rpos]
+            rep_url[i] = urls[rpos]
     group = group.append_column("is_rep", pa.array(is_rep))
-    group = group.append_column(
-        "rep_node", pa.array(np.full(n, node[rep_pos]), pa.int64()))
-    group = group.append_column(
-        "rep_url",
-        pa.array([group["url"][rep_pos].as_py()] * n, pa.string()))
+    group = group.append_column("rep_node", pa.array(rep_node, pa.int64()))
+    group = group.append_column("rep_url", pa.array(rep_url, pa.string()))
     return group
 
 
@@ -105,7 +169,8 @@ class BandExploder:
         if n == 0:
             return pa.table({"band_key": pa.array([], pa.int64()),
                              "node_id": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string())})
+                             "url": pa.array([], pa.string()),
+                             "sketch": pa.array([], pa.binary())})
         sigs = list_col_to_matrix(batch["minhash"], cfg.num_perms)
         bk = band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)  # (n, b)
         keys = (bk >> np.uint64(1)).astype(np.int64).reshape(-1)
@@ -114,16 +179,22 @@ class BandExploder:
         urls = np.repeat(
             np.asarray(batch["url"].to_pylist(), dtype=object),
             cfg.lsh_bands)
+        sketch = sketch_from_minhash(sigs)
+        sk_rep = sketch.take(pa.array(
+            np.repeat(np.arange(n, dtype=np.int64), cfg.lsh_bands)))
         return pa.table({"band_key": pa.array(keys),
                          "node_id": pa.array(node),
-                         "url": pa.array(urls, pa.string())})
+                         "url": pa.array(urls, pa.string()),
+                         "sketch": sk_rep})
 
 
-def make_band_pairs_fn(cap: int):
+def make_band_pairs_fn(cap: int, est_min: float | None = None):
     def band_pairs(group: pa.Table) -> pa.Table:
         node = group["node_id"].to_numpy(zero_copy_only=False)
         return _emit_group_pairs(node, group["url"].to_pylist(), cap,
-                                 "minhash")
+                                 "minhash",
+                                 sketch=_sketch_matrix(group["sketch"]),
+                                 est_min=est_min)
     return band_pairs
 
 
@@ -147,7 +218,8 @@ class SimhashChunkExploder:
             return pa.table({"chunk_key": pa.array([], pa.int64()),
                              "node_id": pa.array([], pa.int64()),
                              "url": pa.array([], pa.string()),
-                             "simhash": pa.array([], pa.int64())})
+                             "simhash": pa.array([], pa.int64()),
+                             "sketch": pa.array([], pa.binary())})
         simh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         chunks = simhash_chunks(simh, self.NCHUNKS)  # (n, 4) u64
         # chunk key = chunk value tagged by chunk index (disjoint keyspaces)
@@ -159,20 +231,28 @@ class SimhashChunkExploder:
         urls = np.repeat(
             np.asarray(batch["url"].to_pylist(), dtype=object), self.NCHUNKS)
         sims = np.repeat(simh.view(np.int64), self.NCHUNKS)
+        sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
+        sk_rep = sketch_from_minhash(sigs).take(pa.array(
+            np.repeat(np.arange(n, dtype=np.int64), self.NCHUNKS)))
         return pa.table({"chunk_key": pa.array(keys),
                          "node_id": pa.array(node),
                          "url": pa.array(urls, pa.string()),
-                         "simhash": pa.array(sims)})
+                         "simhash": pa.array(sims),
+                         "sketch": sk_rep})
 
 
-def make_simhash_pairs_fn(cap: int, max_hamming: int):
+def make_simhash_pairs_fn(cap: int, max_hamming: int,
+                          est_min: float | None = None):
     def simhash_pairs(group: pa.Table) -> pa.Table:
         node = group["node_id"].to_numpy(zero_copy_only=False)
         urls = group["url"].to_pylist()
         simh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sketch = _sketch_matrix(group["sketch"])
         order = np.argsort(node, kind="stable")
         node, simh = node[order], simh[order]
         urls = [urls[i] for i in order]
+        if sketch is not None:
+            sketch = sketch[order]
         n = node.shape[0]
         if n < 2:
             return empty_pairs()
@@ -184,9 +264,16 @@ def make_simhash_pairs_fn(cap: int, max_hamming: int):
         ham = hamming_u64(simh[ii], simh[jj])
         keep = ham <= max_hamming
         ii, jj = ii[keep], jj[keep]
+        est = None
+        if sketch is not None:
+            est = (sketch[ii] == sketch[jj]).mean(axis=1) if ii.size else \
+                np.empty(0, dtype=np.float64)
+            if est_min is not None:
+                k2 = est >= est_min
+                ii, jj, est = ii[k2], jj[k2], est[k2]
         return _pairs_table(node[ii], node[jj],
                             [urls[i] for i in ii], [urls[j] for j in jj],
-                            "simhash")
+                            "simhash", est=est)
     return simhash_pairs
 
 
@@ -260,15 +347,18 @@ class FusedBucketExploder:
             pa.table({"family": pa.array(
                 np.full(b.num_rows, self.FAM_BAND, np.int32)),
                 "key": b["band_key"], "node_id": b["node_id"],
-                "url": b["url"], "simhash": nulls_b}),
+                "url": b["url"], "simhash": nulls_b,
+                "sketch": b["sketch"]}),
             pa.table({"family": pa.array(
                 np.full(c.num_rows, self.FAM_CHUNK, np.int32)),
                 "key": c["chunk_key"], "node_id": c["node_id"],
-                "url": c["url"], "simhash": c["simhash"]}),
+                "url": c["url"], "simhash": c["simhash"],
+                "sketch": c["sketch"]}),
             pa.table({"family": pa.array(
                 np.full(w.num_rows, self.FAM_WINNOW, np.int32)),
                 "key": w["fp_key"], "node_id": w["node_id"],
-                "url": w["url"], "simhash": nulls_w}),
+                "url": w["url"], "simhash": nulls_w,
+                "sketch": pa.nulls(w.num_rows, pa.binary())}),
         ])
 
 
@@ -298,10 +388,175 @@ def dedup_pairs_fn(group: pa.Table) -> pa.Table:
     The kept row's ``src`` is the sorted union of all source tags
     ("minhash,winnow", ...) — deterministic regardless of input order (D1
     keep-first semantics made order-independent), and downstream stages
-    gate on membership (e.g. span verify requires a 'winnow' tag).
+    gate on membership (e.g. span verify requires a 'winnow' tag).  ``est``
+    is the max non-null estimate across branches (identical values when
+    several sketch-bearing branches emitted the pair).
     """
     if group.num_rows == 1:
         return group
     src = ",".join(sorted(set(group["src"].to_pylist())))
-    out = group.slice(0, 1).drop_columns(["src"])
-    return out.append_column("src", pa.array([src], pa.string()))
+    ests = [e for e in group["est"].to_pylist() if e is not None]
+    est = pa.array([max(ests) if ests else None], pa.float64())
+    out = group.slice(0, 1).drop_columns(["src", "est"])
+    out = out.append_column("src", pa.array([src], pa.string()))
+    return out.append_column("est", est)
+
+
+# --- salted hot buckets (pair-emitting ops) --------------------------------
+#
+# The flagship needs only connected-COMPONENT recall, so its giant buckets
+# take the O(n) star fallback above.  The pair-emitting operators
+# (text_dedup.minhash_lsh_pairs etc.) must return the PAIRS themselves, so
+# a hot bucket is instead *salted*: SURVEY.md §7.3's (band_key, node_hash
+# % s) idea realized as triangle partitioning — members split into s
+# sub-groups by node hash; the member of sub u is re-emitted to the s
+# buckets (min(u,v), max(u,v)) for v in 0..s-1, so every pair (subs p, q)
+# co-locates in EXACTLY one sub-bucket (p, q) and clique enumeration
+# splits across s(s+1)/2 tasks of ~2·cap docs — no silent pair loss.
+
+def hot_bucket_salts(exploded, key_col: str, cap: int) -> dict:
+    """Cheap pre-count over bucket keys -> {key: s} for buckets > cap.
+
+    The count shuffle moves only (key, node) rows; the hot-key list
+    collected to the driver is tiny by definition (buckets > cap).
+    """
+    counts = (exploded.groupby(key_col).count()
+              .rename_columns({"count()": "n"})
+              .filter(expr=f"n > {cap}"))
+    return {int(r[key_col]): int(np.ceil(r["n"] / cap))
+            for r in counts.take_all()}
+
+
+def make_salted_explode(key_col: str, salts: dict, seed: int):
+    """map_batches fn: rows -> (salt_key, node_id, url, sketch, sub, bp, bq).
+
+    Cold-bucket rows pass through once with (sub, bp, bq) = 0; hot-bucket
+    rows replicate into their s triangle buckets.  salt_key mixes
+    (key, bp, bq) so sub-buckets shuffle independently.
+    """
+    from eridu_ray.kernels.hashing import splitmix64
+
+    hot_keys = (np.fromiter(salts.keys(), dtype=np.int64, count=len(salts))
+                if salts else np.empty(0, dtype=np.int64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        has_simhash = "simhash" in batch.column_names
+        hot_mask = (np.isin(keys, hot_keys) if hot_keys.size
+                    else np.zeros(n, dtype=bool))
+        zeros32 = pa.array(np.zeros(int((~hot_mask).sum()), np.int32))
+        cold = batch.filter(pa.array(~hot_mask))
+        # cold keys go through the same mix (tag 0) so a mixed hot
+        # sub-bucket key can never alias an untouched cold key
+        cold_keys = (splitmix64(
+            cold[key_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+            >> np.uint64(1)).astype(np.int64)
+        cold_cols = {
+            "salt_key": pa.array(cold_keys),
+            "node_id": cold["node_id"],
+            "url": cold["url"],
+            "sketch": cold["sketch"],
+            "sub": zeros32, "bp": zeros32, "bq": zeros32,
+        }
+        if has_simhash:
+            cold_cols["simhash"] = cold["simhash"]
+        cold_tab = pa.table(cold_cols)  # canonical column order (simhash last)
+        if not hot_mask.any():
+            return cold_tab
+        hot = batch.filter(pa.array(hot_mask))
+        node = hot["node_id"].to_numpy(zero_copy_only=False)
+        urls = hot["url"].to_pylist()
+        sketches = hot["sketch"].to_pylist()
+        simhashes = (hot["simhash"].to_pylist() if has_simhash
+                     else [None] * hot.num_rows)
+        hkeys = hot[key_col].to_numpy(zero_copy_only=False)
+        o_key, o_node, o_url, o_sk, o_sh, o_sub, o_bp, o_bq = \
+            [], [], [], [], [], [], [], []
+        for i in range(hot.num_rows):
+            k = int(hkeys[i])
+            s = salts[k]
+            u = int(splitmix64(np.uint64(node[i]) ^ np.uint64(seed))
+                    % np.uint64(s))
+            for v in range(s):
+                p, q = (u, v) if u <= v else (v, u)
+                mixed = int(splitmix64(
+                    np.uint64(k) ^ (np.uint64(p * s + q + 1)
+                                    << np.uint64(40))) >> np.uint64(1))
+                o_key.append(mixed)
+                o_node.append(node[i])
+                o_url.append(urls[i])
+                o_sk.append(sketches[i])
+                o_sh.append(simhashes[i])
+                o_sub.append(u)
+                o_bp.append(p)
+                o_bq.append(q)
+        hot_cols = {
+            "salt_key": pa.array(o_key, pa.int64()),
+            "node_id": pa.array(o_node, pa.int64()),
+            "url": pa.array(o_url, pa.string()),
+            "sketch": pa.array(o_sk, pa.binary()),
+            "sub": pa.array(o_sub, pa.int32()),
+            "bp": pa.array(o_bp, pa.int32()),
+            "bq": pa.array(o_bq, pa.int32()),
+        }
+        if has_simhash:
+            hot_cols["simhash"] = pa.array(o_sh, pa.int64())
+        hot_tab = pa.table(hot_cols)  # same canonical order as cold_tab
+        return pa.concat_tables([cold_tab, hot_tab])
+
+    return f
+
+
+def make_salted_pairs_fn(src: str, est_min: float | None = None,
+                         max_hamming: int | None = None):
+    """map_groups over groupby('salt_key'): exact clique/cross pairs.
+
+    Buckets with bp == bq (all cold buckets, and on-diagonal sub-buckets)
+    emit the upper-triangle clique of their members; off-diagonal
+    sub-buckets emit only cross pairs between sub bp and sub bq members —
+    together exactly the clique of the original hot bucket, once each.
+    ``max_hamming`` additionally gates pairs on simhash hamming distance
+    (the SimHash pair op's semantics).
+    """
+    def fn(group: pa.Table) -> pa.Table:
+        node = group["node_id"].to_numpy(zero_copy_only=False)
+        urls = group["url"].to_pylist()
+        sketch = _sketch_matrix(group["sketch"])
+        bp = group["bp"][0].as_py()
+        bq = group["bq"][0].as_py()
+        n = node.shape[0]
+        if n < 2:
+            return empty_pairs()
+        if bp == bq:
+            ii, jj = np.triu_indices(n, k=1)
+        else:
+            sub = group["sub"].to_numpy(zero_copy_only=False)
+            ia = np.nonzero(sub == bp)[0]
+            ib = np.nonzero(sub == bq)[0]
+            if ia.size == 0 or ib.size == 0:
+                return empty_pairs()
+            ii = np.repeat(ia, ib.size)
+            jj = np.tile(ib, ia.size)
+        if max_hamming is not None:
+            simh = group["simhash"].to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            keep = hamming_u64(simh[ii], simh[jj]) <= max_hamming
+            ii, jj = ii[keep], jj[keep]
+            if ii.size == 0:
+                return empty_pairs()
+        est = None
+        if sketch is not None:
+            est = (sketch[ii] == sketch[jj]).mean(axis=1)
+            if est_min is not None:
+                keep = est >= est_min
+                ii, jj, est = ii[keep], jj[keep], est[keep]
+        # canonical orientation node_a < node_b (dedup key across buckets)
+        swap = node[ii] > node[jj]
+        ii2 = np.where(swap, jj, ii)
+        jj2 = np.where(swap, ii, jj)
+        return _pairs_table(node[ii2], node[jj2],
+                            [urls[i] for i in ii2],
+                            [urls[j] for j in jj2], src, est=est)
+
+    return fn

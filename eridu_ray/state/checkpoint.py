@@ -28,6 +28,11 @@ class CheckpointManager:
     root: str | None
     config_hash: str
     counters: dict = field(default_factory=dict)
+    # fingerprint of the run's INPUT (source files); a checkpoint written
+    # from different input files is invalid even under the same config —
+    # without this, rerunning with the same checkpoint_dir but new pages
+    # would silently resume stale results
+    input_fingerprint: str = ""
 
     def _stage_dir(self, stage: str) -> str:
         assert self.root is not None
@@ -44,7 +49,8 @@ class CheckpointManager:
             return False
         with open(mp) as f:
             m = json.load(f)
-        return m.get("config_hash") == self.config_hash
+        return (m.get("config_hash") == self.config_hash
+                and m.get("input_fingerprint", "") == self.input_fingerprint)
 
     def load(self, stage: str):
         import ray.data
@@ -71,17 +77,20 @@ class CheckpointManager:
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
         os.replace(tmp, final)
+        import ray.data
+
+        out = ray.data.read_parquet(final)
         meta = {
             "stage": stage,
             "config_hash": self.config_hash,
+            "input_fingerprint": self.input_fingerprint,
+            # row count from the committed files' parquet metadata (cheap)
+            "rows": out.count(),
             "created_unix": time.time(),
             "lineage": lineage or {},
         }
         with open(self._manifest_path(stage), "w") as f:
             json.dump(meta, f)
-        import ray.data
-
-        out = ray.data.read_parquet(final)
         return out
 
     def stage(self, name: str, builder, lineage: dict | None = None):

@@ -173,3 +173,57 @@ def test_threshold_batch():
     b = pa.table({"similarity": pa.array([0.1, 0.95, 0.9])})
     out = threshold_batch(b, 0.9)
     assert out["predicted_match"].to_pylist() == [False, True, True]
+
+
+# --- salted hot buckets (pair-emitting ops) -------------------------------
+
+@pytest.fixture(scope="module")
+def giant_bucket_dir(tmp_path_factory):
+    """A corpus engineered so LSH buckets exceed band_group_cap: 300
+    near-identical docs (1-token edits of one base) — every band bucket
+    holds ~all docs, forcing the salted triangle path."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    base = [vocab[int(x)] for x in rng.integers(0, 50, 150)]
+    rows_id, rows_text = [], []
+    for d in range(300):
+        toks = list(base)
+        toks[d % len(toks)] = f"edit{d}"
+        rows_id.append(d)
+        rows_text.append(" ".join(toks))
+    tab = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                    "text": pa.array(rows_text, pa.string())})
+    d = tmp_path_factory.mktemp("giantbucket")
+    pq.write_table(tab, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_salted_giant_bucket_pair_recall(giant_bucket_dir):
+    """Pair-emitting MinHash op must keep full pair recall when a bucket
+    is far beyond band_group_cap (VERDICT r1 'What's wrong' #5: the old
+    star fallback silently under-reported pairs in hot buckets)."""
+    from eridu_ray.kernels.shingle import jaccard, shingle_set
+    from eridu_ray.kernels.text import normalize_text
+    from eridu_ray.pipelines.text_dedup import minhash_lsh_pairs
+
+    docs = pq.read_table(f"{giant_bucket_dir}/documents.parquet")
+    ids = docs["doc_id"].to_pylist()
+    sets = [shingle_set(normalize_text(t), 5, 31337)
+            for t in docs["text"].to_pylist()]
+    brute = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(sets[i], sets[j]) >= 0.8:
+                brute.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert len(brute) > 40000  # the bucket really is giant
+
+    stats = {}
+    got = minhash_lsh_pairs(
+        giant_bucket_dir, PipelineConfig(num_partitions=4),
+        stats=stats).to_pandas()
+    got_pairs = set(zip(got.doc_id_a, got.doc_id_b))
+    assert stats["hot_buckets"] > 0          # the salted path was exercised
+    assert stats["dropped_pairs"] == 0
+    assert got_pairs <= brute                 # exact-verified => precision 1
+    rec = len(got_pairs & brute) / len(brute)
+    assert rec >= 0.99, rec

@@ -119,3 +119,31 @@ def test_cross_parallelism_labels_identical(corpus, result):
     a = labels.sort_values("url").reset_index(drop=True)
     b = labels2.sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_borderline_fixture_present(corpus):
+    """The v3 corpus must contain borderline pairs whose truth is decided
+    by the stub scorer — with BOTH outcomes represented (otherwise the
+    scorer stage could be replaced by a constant and still pass)."""
+    _, _, truth_pairs, _ = corpus
+    tp = truth_pairs.to_pandas()
+    bord = tp[tp.kind == "borderline"]
+    assert len(bord) >= 10
+    assert bord.match.sum() >= 3, "no scorer-accepted borderline pairs"
+    assert (~bord.match).sum() >= 1, "no scorer-rejected borderline pairs"
+
+
+def test_scorer_stage_is_load_bearing(corpus, result):
+    """use_scorer_edges=False must change the flagship partition — i.e.
+    the scorer pool's edges are live, not dead lineage."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    _, labels, _ = result
+    res_off = run_dedup(rd.from_arrow(pages),
+                        PipelineConfig(num_partitions=4,
+                                       use_scorer_edges=False))
+    loff = res_off.labels.to_pandas()
+    got_on = _partitions(dict(zip(labels["url"], labels["component"])))
+    got_off = _partitions(dict(zip(loff["url"], loff["component"])))
+    assert got_on != got_off

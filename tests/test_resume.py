@@ -76,3 +76,24 @@ def test_partial_tmp_dir_discarded(pages_table, tmp_path):
     res = run_dedup(rd.from_arrow(pages_table), cfg)
     assert res.labels.count() == pages_table.num_rows
     assert not os.path.exists(os.path.join(ck, "signatures.tmp"))
+
+
+def test_changed_input_invalidates_checkpoint(pages_table, tmp_path):
+    """Same config + same checkpoint_dir but DIFFERENT input files must
+    recompute, not resume stale results (input fingerprint in manifest)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    p1 = tmp_path / "in1"
+    p2 = tmp_path / "in2"
+    p1.mkdir()
+    p2.mkdir()
+    pq.write_table(pages_table.slice(0, 150), str(p1 / "pages.parquet"))
+    pq.write_table(pages_table.slice(50, 150), str(p2 / "pages.parquet"))
+    ck = str(tmp_path / "run")
+    cfg = PipelineConfig(num_partitions=2, checkpoint_dir=ck)
+    run_dedup(rd.read_parquet(str(p1)), cfg)
+    res = run_dedup(rd.read_parquet(str(p2)), cfg)
+    assert "signatures.resumed" not in res.counters
+    assert res.counters.get("signatures.computed") == 1
+    assert res.labels.count() == 150
