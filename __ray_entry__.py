@@ -52,6 +52,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs = dict(build_queries())
     qs["dedup_flagship"] = _q_dedup_flagship
 
+    # CSV source/sink round-trips (S3/S8/S9; oracle-paired)
+    from eridu_ray.sources import csv_io
+
+    qs["csv_roundtrip"] = csv_io.q_csv_roundtrip
+    qs["gzcsv_to_parquet"] = csv_io.q_gzcsv_to_parquet
+
+    # flat-map augmentation family (M8/M9/M10; oracle-paired)
+    from eridu_ray.stages import augment
+
+    qs["ending_extract"] = augment.q_ending_extract
+    qs["acronyms"] = augment.q_acronyms
+
     # text-dedup operator family over documents (rows-only checks; brute
     # -force oracles live in tests/test_ops.py)
     from eridu_ray.pipelines import text_dedup as td
@@ -121,5 +133,7 @@ def oracle_sql() -> dict[str, str]:
     weaker rows-only check.
     """
     from eridu_ray.pipelines.relational import ORACLE_SQL
+    from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
+    from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **CSV_SQL, **AUG_SQL}

@@ -11,88 +11,76 @@ Jaccard -> threshold, plus the span check for substring cases.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
 
-_LOREM = ("data pipelines shuffle partitioned blocks across the cluster "
-          "while backpressure keeps the object store from overfilling and "
-          "spilled blocks stream back in order for the next stage to "
-          "consume without ever materializing the whole table ")
-
-CHECKS: list[dict] = [
-    # identical text, different urls -> dup
-    {"name": "identical", "a": _LOREM * 3, "b": _LOREM * 3,
-     "match": True},
-    # boilerplate-only difference (trailing whitespace/case) -> dup
-    {"name": "case-and-space", "a": _LOREM * 3,
-     "b": (_LOREM * 3).upper() + "   ", "match": True},
-    # one-token edit in a long doc -> dup
-    {"name": "one-token-edit", "a": _LOREM * 4,
-     "b": (_LOREM * 4).replace("cluster", "fleet", 1), "match": True},
-    # ~half shared -> not dup (tails are NON-repetitive: shingle sets are
-    # sets, repeated filler collapses and inflates jaccard)
-    {"name": "half-shared",
-     "a": _LOREM * 2 + " ".join(f"newtail{i} coda{i * 7}"
-                                for i in range(120)),
-     "b": _LOREM * 2 + " ".join(f"endingx{i} outro{i * 5}"
-                                for i in range(120)),
-     "match": False},
-    # disjoint -> not dup
-    {"name": "disjoint", "a": "alpha beta gamma delta " * 30,
-     "b": "epsilon zeta eta theta " * 30, "match": False},
-    # short identical -> dup
-    {"name": "short-identical", "a": "tiny page", "b": "tiny page",
-     "match": True},
-    # short different -> not dup
-    {"name": "short-different", "a": "tiny page", "b": "other page",
-     "match": False},
-    # empty vs empty -> dup (both vacuous)
-    {"name": "both-empty", "a": "", "b": "", "match": True},
-    # empty vs text -> not dup
-    {"name": "one-empty", "a": "", "b": _LOREM, "match": False},
-    # unicode normalization forms of the same text -> dup
-    {"name": "nfc-nfd", "a": "résumé " * 60,
-     "b": "résumé " * 60, "match": True},
-    # cyrillic identical -> dup
-    {"name": "cyrillic", "a": "привет мир " * 50,
-     "b": "привет мир " * 50,
-     "match": True},
-    # long shared span inside different docs -> NOT a full dup, but span
-    {"name": "substring",
-     "a": " ".join(f"heada{i} intro{i * 3}" for i in range(150))
-     + " " + _LOREM,
-     "b": " ".join(f"otherb{i} lead{i * 9}" for i in range(150))
-     + " " + _LOREM + " "
-     + " ".join(f"tailc{i} extra{i * 11}" for i in range(150)),
-     "match": False, "span": True},
-    # hard negative: same vocabulary, different order
-    {"name": "shuffled-vocab",
-     "a": " ".join(_LOREM.split()[i % 28] for i in range(0, 300, 1)),
-     "b": " ".join(_LOREM.split()[(i * 11 + 5) % 28] for i in range(300)),
-     "match": False},
-]
+DEFAULT_CHECKS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "checks.yml")
 
 
-def evaluate_checks(cfg: PipelineConfig | None = None) -> pa.Table:
+def load_checks(path: str | None = None) -> list[dict]:
+    """S10: YAML checks reader (yaml.safe_load(...)["checks"] — the
+    reference's corpus ingestion, eridu/etl/checks_evaluation.py:22-34).
+
+    Each check carries name, schema, match, and nested query/candidate
+    text fields mirroring the reference's checks.yml shape
+    (checks_evaluation.py:52-68)."""
+    import yaml
+
+    with open(path or DEFAULT_CHECKS_PATH, encoding="utf-8") as f:
+        return yaml.safe_load(f)["checks"]
+
+
+def filter_checks_by_schema(checks: list[dict],
+                            schemas: set[str] | None) -> list[dict]:
+    """M13: keep checks whose schema is in ``schemas`` (None = all) —
+    reference semantics eridu/etl/checks_evaluation.py:37-49."""
+    if schemas is None:
+        return list(checks)
+    return [c for c in checks if c.get("schema") in schemas]
+
+
+def checks_dataset(path: str | None = None,
+                   schemas: set[str] | None = None):
+    """Checks corpus as a Ray Dataset (driver-side YAML load →
+    ``from_items``; SURVEY.md §2 S10 mapping) with pair extraction
+    (M12: check["query"]["text"], check["candidate"]["text"])."""
+    import ray.data as rd
+
+    rows = [{"name": c["name"], "schema": c.get("schema", ""),
+             "match": bool(c["match"]),
+             "a": c["query"]["text"], "b": c["candidate"]["text"],
+             "span": bool(c.get("span", False))}
+            for c in filter_checks_by_schema(load_checks(path), schemas)]
+    return rd.from_items(rows)
+
+
+def evaluate_checks(cfg: PipelineConfig | None = None,
+                    schemas: set | None = None) -> pa.Table:
     """Score every check with the pipeline kernels; returns per-check rows
-    (name, expected, jaccard, predicted, span_len, correct)."""
+    (name, schema, expected, jaccard, predicted, span_len, correct).
+    ``schemas`` applies the M13 schema filter before evaluation."""
     from eridu_ray.kernels.shingle import (jaccard, shared_run_length,
                                            shingle_set)
     from eridu_ray.kernels.text import normalize_text
 
     cfg = cfg or PipelineConfig()
     rows = []
-    for c in CHECKS:
-        na, nb = normalize_text(c["a"]), normalize_text(c["b"])
+    for c in filter_checks_by_schema(load_checks(), schemas):
+        a, b = c["query"]["text"], c["candidate"]["text"]
+        na, nb = normalize_text(a), normalize_text(b)
         sa = shingle_set(na, cfg.shingle_k, cfg.seed)
         sb = shingle_set(nb, cfg.shingle_k, cfg.seed)
         j = jaccard(sa, sb)
         pred = j >= cfg.dup_jaccard
-        span = shared_run_length(c["a"], c["b"],
-                                 min_len=cfg.min_shared_span)
+        span = shared_run_length(a, b, min_len=cfg.min_shared_span)
         rows.append({
-            "name": c["name"], "expected": c["match"],
+            "name": c["name"], "schema": c.get("schema", ""),
+            "expected": c["match"],
             "jaccard": j, "predicted": bool(pred),
             "span_len": int(span),
             "span_expected": bool(c.get("span", False)),

@@ -39,41 +39,32 @@ _EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
 # extra filler vocabulary for token substitutions (deterministic)
 _SUBS = [f"zrep{i}" for i in range(64)]
 
-GENERATOR_VERSION = 3  # v3: borderline variants whose truth depends on the
-                       # deterministic stub scorer (flagship runs it by default)
+GENERATOR_VERSION = 4  # v4: borderline variants adjudicated by the stub
+                       # scorer + per-doc cipher isolation (no salt tokens)
+
+_CIPHER_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
-def _salt_text(text: str, doc_id: int, every: int = 3) -> str:
-    """Interleave per-doc marker tokens so distinct base docs can't be
+def _salt_text(text: str, doc_id: int) -> str:
+    """Per-doc substitution cipher: distinct base docs can never be
     accidental near-duplicates of each other.
 
     The driver's documents table contains repeated/near-identical texts
-    across doc_ids (verified: pairs up to Jaccard 1.0); ground truth assumes
-    per-doc independence, so each base doc gets unique salt tokens every
-    ``every`` tokens.  Same-group variants share the salt (they derive from
-    the salted text), so within-group similarity is unchanged.
-
-    Salt tokens are HASH-VALUED: structured salts ("s0000072m001") share
-    their zero-scaffolding shingles across docs, which left identical
-    base texts at J≈0.75 — inside the borderline window the scorer
-    adjudicates → false cross-doc merges.  12 fully-random chars every 3
-    tokens cap cross-doc Jaccard of identical base texts near ~0.3,
-    below both the candidate prefilter (~0.45) and the borderline window
-    [0.6, 0.8).
+    across doc_ids (verified: pairs up to Jaccard 1.0), while ground
+    truth assumes per-doc independence.  Instead of interleaving salt
+    tokens (which inflated text ~1.7x and still leaked shared shingles
+    through the salts' common scaffolding — identical texts sat at
+    J≈0.75, inside the borderline window → false cross-doc merges), the
+    whole text goes through a seeded per-doc character permutation over
+    [a-z0-9]: identical base texts land at J≈0 across docs, zero length
+    overhead, and all within-doc variant similarity (derived from the
+    ciphered text) is preserved exactly.
     """
-    from eridu_ray.kernels.hashing import splitmix64
-
-    toks = text.split(" ")
-    n_salts = (len(toks) + every - 1) // every
-    mix = np.uint64(doc_id) << np.uint64(20)
-    hs = splitmix64(mix | np.arange(n_salts, dtype=np.uint64))
-    salts = [f"{int(h) & 0xFFFFFFFFFFF:011x}q" for h in hs]
-    out = []
-    for i, t in enumerate(toks):
-        if i % every == 0:
-            out.append(salts[i // every])
-        out.append(t)
-    return " ".join(out)
+    rng = np.random.default_rng([doc_id, 0xC1F4])
+    perm = rng.permutation(len(_CIPHER_ALPHABET))
+    table = str.maketrans(
+        _CIPHER_ALPHABET, "".join(_CIPHER_ALPHABET[p] for p in perm))
+    return text.translate(table)
 
 
 def _page_url(source: str, lang: str, doc_id: int, variant: str) -> str:

@@ -23,6 +23,18 @@ import time
 from dataclasses import dataclass, field
 
 
+def write_single_parquet(ds, out_dir: str) -> str:
+    """S6: single-file Parquet writer — ``repartition(1).write_parquet``
+    (reference: ``coalesce(1).write.parquet``, eridu/etl/filter.py:86-88).
+
+    ONLY for tiny outputs (reports, metrics): one file means one writer
+    task and no read parallelism, so every large-scale sink in this
+    engine keeps N files (SURVEY.md §4 output-layout row).
+    """
+    ds.repartition(1).write_parquet(out_dir)
+    return out_dir
+
+
 @dataclass
 class CheckpointManager:
     root: str | None

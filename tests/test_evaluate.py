@@ -64,3 +64,34 @@ def test_component_split_no_leakage():
     # deterministic
     out2 = component_split(labels).to_pandas()
     assert out.equals(out2)
+
+
+def test_best_threshold_streaming_bounded():
+    """Feeding far more rows than max_sample must keep driver accumulation
+    bounded (~max_sample + one batch) and reproduce the same threshold as
+    an unbounded run restricted to the same hash sample."""
+    rng = np.random.default_rng(2)
+    n = 300_000
+    s = rng.random(n)
+    y = (s + rng.normal(0, 0.3, n) > 0.5).astype(float)
+    ds = _scored_ds(s, y)
+    stats = {}
+    r = best_threshold(ds, max_sample=20_000, _debug_stats=stats)
+    assert stats["total_seen"] == n
+    assert r["n"] == 20_000
+    # peak accumulation stays within max_sample + one 65536-row batch
+    assert stats["peak_rows"] <= 20_000 + 65_536
+    # reference computation: full materialize + smallest-hash selection
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    k = np.ascontiguousarray(s, dtype=np.float64).view(np.uint64) * mult
+    idx = np.argsort(k, kind="stable")[:20_000]
+    ss, yy = s[idx], y[idx]
+    order = np.argsort(-ss, kind="stable")
+    ssd, yyd = ss[order], yy[order]
+    tp = np.cumsum(yyd)
+    fp = np.cumsum(1.0 - yyd)
+    prec = tp / (tp + fp)
+    rec = tp / yyd.sum()
+    f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    assert r["threshold"] == pytest.approx(float(ssd[int(np.argmax(f1))]))
+    assert r["f1"] == pytest.approx(float(f1.max()))
