@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["ending_extract"] = augment.q_ending_extract
     qs["acronyms"] = augment.q_acronyms
 
+    # T6: standalone corpus->embedding encoder stage (rows-only: stub
+    # embedding values are engine-defined, not SQL-expressible)
+    from eridu_ray.stages.scorer import encode_documents
+
+    qs["doc_embeddings"] = encode_documents
+
     # text-dedup operator family over documents (rows-only checks; brute
     # -force oracles live in tests/test_ops.py)
     from eridu_ray.pipelines import text_dedup as td

@@ -26,6 +26,11 @@ class PipelineConfig:
     lsh_bands: int = 16         # b=16
     lsh_rows: int = 8           # r=8  (b*r must equal num_perms)
     simhash_bits: int = 64      # 64-bit SimHash near-exact fallback
+    verify_bits: int = 32       # retained verify-set element width: the
+                                # exact-Jaccard stage (and its shared
+                                # ground-truth kernel) runs on 32-bit
+                                # projected shingle sets — half the blob
+                                # traffic of u64 at ~1e-6 J perturbation
     simhash_max_hamming: int = 3
 
     # --- thresholds ---
@@ -47,6 +52,18 @@ class PipelineConfig:
     # --- substring (long shared span) stage ---
     winnow_window: int = 64     # guarantee: shared span >= window+k-1 chars
     min_shared_span: int = 200  # chars; spans >= this create substring edges
+    winnow_min_hits: int = 2    # winnow-ONLY pairs must share >= this many
+                                # distinct fingerprints: a true span >=
+                                # 2*window+k-1 = 132 chars < min_shared_span
+                                # guarantees >= 2, while common-vocab
+                                # single-fp collisions (the measured junk-
+                                # pair storm on dense-vocab corpora) die
+                                # before the blob-carrying verify shuffle
+    winnow_est_min: float = 0.42  # ...unless the pair's 32-slot sketch
+                                # estimate reaches near the borderline
+                                # window (borderline - 2 sigma(32 slots)):
+                                # borderline near-dups caught by a single
+                                # fingerprint survive, J~0 junk does not
 
     # --- skew / scale knobs ---
     band_group_cap: int = 256   # max docs per LSH bucket before star-fallback
@@ -56,6 +73,16 @@ class PipelineConfig:
     scorer_batch_size: int = 1024
     scorer_concurrency: tuple = (1, 8)  # actor-pool size (min, max)
     num_partitions: int = 32    # hash-join / shuffle partition count
+    bucket_partitions: int = 128  # pid buckets for partitioned pair
+                                # emission (group-count amortization);
+                                # layout knob, excluded from config_hash
+    verify_strategy: str = "reduce"  # "reduce" = union+sort-groupby join
+                                # with fused Jaccard (no join-aggregator
+                                # actors, blob shipped once per node);
+                                # "acero" = two hash joins + jaccard map.
+                                # Layout knob: results are identical
+                                # (asserted in tests), so it is excluded
+                                # from config_hash.
     cc_partitions: int = 8      # CC-round joins: label tables are far
                                 # smaller than the corpus; fewer partitions
                                 # = fewer aggregator actors per round
@@ -83,7 +110,8 @@ class PipelineConfig:
         # layout/perf knobs don't change results
         for k in ("batch_size", "scorer_batch_size", "scorer_concurrency",
                   "num_partitions", "cc_partitions", "cc_driver_max_edges",
-                  "checkpoint_dir"):
+                  "checkpoint_dir", "verify_strategy",
+                  "bucket_partitions"):
             d.pop(k)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -211,3 +211,33 @@ def shared_run_length(a: str, b: str, min_len: int = 1) -> int:
         else:
             hi = mid - 1
     return lo
+
+
+def to_verify_set32(set64: np.ndarray) -> np.ndarray:
+    """Project a sorted-unique uint64 shingle set to the 32-bit VERIFY set.
+
+    The exact-Jaccard verify stage ships one shingle set per candidate
+    pair side; 32-bit elements halve that traffic (the measured verify-
+    shuffle bottleneck) at a deterministic, shared cost model: within-doc
+    collisions merge ~n^2/2^33 elements (<0.001 for 3k-shingle docs) and
+    the ground-truth generator uses the SAME projection, so pipeline and
+    oracle Jaccard values stay bit-identical.  MinHash/SimHash/winnowing
+    keep the full 64-bit hashes.
+    """
+    return np.unique((set64 >> np.uint64(32)).astype(np.uint32))
+
+
+def shingle_set32(text: str, k: int = 5, seed: int = 0) -> np.ndarray:
+    """Sorted unique 32-bit verify set of ``text`` (truth-side twin of
+    the signature stage's retained blob)."""
+    return to_verify_set32(shingle_set(text, k=k, seed=seed))
+
+
+def jaccard32(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint32 verify sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)

@@ -64,8 +64,8 @@ def evaluate_checks(cfg: PipelineConfig | None = None,
     """Score every check with the pipeline kernels; returns per-check rows
     (name, schema, expected, jaccard, predicted, span_len, correct).
     ``schemas`` applies the M13 schema filter before evaluation."""
-    from eridu_ray.kernels.shingle import (jaccard, shared_run_length,
-                                           shingle_set)
+    from eridu_ray.kernels.shingle import (jaccard32, shared_run_length,
+                                           shingle_set32)
     from eridu_ray.kernels.text import normalize_text
 
     cfg = cfg or PipelineConfig()
@@ -73,9 +73,9 @@ def evaluate_checks(cfg: PipelineConfig | None = None,
     for c in filter_checks_by_schema(load_checks(), schemas):
         a, b = c["query"]["text"], c["candidate"]["text"]
         na, nb = normalize_text(a), normalize_text(b)
-        sa = shingle_set(na, cfg.shingle_k, cfg.seed)
-        sb = shingle_set(nb, cfg.shingle_k, cfg.seed)
-        j = jaccard(sa, sb)
+        sa = shingle_set32(na, cfg.shingle_k, cfg.seed)
+        sb = shingle_set32(nb, cfg.shingle_k, cfg.seed)
+        j = jaccard32(sa, sb)
         pred = j >= cfg.dup_jaccard
         span = shared_run_length(a, b, min_len=cfg.min_shared_span)
         rows.append({

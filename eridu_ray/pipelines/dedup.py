@@ -1,20 +1,27 @@
 """Flagship near-duplicate detection + clustering pipeline (SURVEY.md §7.1).
 
     pages ─ map_batches(SignatureStage) ─► signatures          [checkpoint]
-      signatures ─ groupby(chash) ─► exact star edges + representatives
-      reps ─ BandExploder ─ groupby(band_key)      ─► minhash candidates
-      reps ─ SimhashChunkExploder ─ groupby(chunk) ─► simhash candidates
-      reps ─ WinnowExploder ─ groupby(fp_key)      ─► span candidates
-      ∪ candidates ─ groupby(node_a,node_b) dedup ─ join shingles ×2
-        ─ exact Jaccard ─► verified                            [checkpoint]
+      slim(keys+LSH cols) ─ groupby(pid(chash)) ─► exact star edges
+                                                   + representatives
+      reps ─ BandExploder    ─ groupby(pid(band_key)) ─► minhash cands
+      reps ─ SimhashExploder ─ groupby(pid(chunk))    ─► simhash cands
+      reps ─ WinnowExploder  ─ groupby(pid(fp_key))   ─► span cands
+        (each bucket carries a byte sketch; pairs below the borderline
+         estimate die at emission — the verify-traffic prefilter)
+      ∪ cands ─ groupby(pid(a,b)) dedup ─ reduce-side verify join ×2
+        (fused exact Jaccard; blob ships once per node)       [checkpoint]
       dup edges (J >= t) ∪ exact edges ∪ scorer edges ─► edges [checkpoint]
+        (borderline J ∈ [lo, t) pairs scored by the actor-pool scorer)
       span candidates (J < t) ─ join text ×2 ─ LCS ─► span_edges
       edges ─ label propagation to fixpoint ─► labels          [checkpoint]
       labels ∪ singletons ─ relabel by min url ─► components
 
 Every stage is a Dataset transform; the driver holds only config, manifests
-and small aggregates.  All shuffles are keyed on int64 hashes; skewed
-buckets are capped with the star fallback (candidates.py).
+and small aggregates.  All shuffles are keyed on int64 hashes; buckets are
+hashed into cfg.bucket_partitions pids with vectorized run detection
+inside each pid group (per-group Python overhead amortized), and skewed
+buckets are capped with the star fallback (candidates.py; the
+pair-emitting text_dedup ops use triangle salting instead).
 """
 
 from __future__ import annotations
@@ -29,7 +36,8 @@ from eridu_ray.stages.components import (connected_components_auto,
                                           relabel_by_min_url)
 from eridu_ray.stages.scorer import PairScorer
 from eridu_ray.stages.signatures import SignatureStage
-from eridu_ray.stages.verify import attach_shingles, jaccard_batch
+from eridu_ray.stages.verify import (attach_shingles, jaccard_batch,
+                                     verify_pairs_reduce)
 from eridu_ray.state.checkpoint import CheckpointManager
 
 
@@ -94,14 +102,23 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     _mark("signatures")
 
     # --- exact dedup + representative selection (one shuffle) ------------
-    tagged = signatures.groupby("chash").map_groups(
-        cand.exact_groups_fn, batch_format="pyarrow")
+    # slim projection: the exact shuffle and the candidate branches need
+    # keys + LSH columns only — text and shingle blobs (the heavy ~2/3 of
+    # the signature table) stay out of this shuffle and of the three
+    # explode branches (they re-enter only in the verify/span stages,
+    # which read `signatures` directly)
+    slim = signatures.select_columns(
+        ["chash", "chash2", "node_id", "url", "n_shingles",
+         "minhash", "simhash", "winnow"])
+    tagged = (cand.add_pid(slim, "chash", cfg.bucket_partitions)
+              .groupby("pid")
+              .map_groups(cand.exact_groups_partition_fn,
+                          batch_format="pyarrow"))
     if cfg.checkpoint_dir is None:
         tagged = tagged.materialize()
     else:
         tagged = ckpt.stage("exact_tagged", lambda: tagged)
     _mark("exact_groups")
-    reps = tagged.filter(expr="is_rep == True")
     exact_edges = (tagged.filter(expr="is_rep == False")
                    .map_batches(_exact_edge_batch, batch_format="pyarrow"))
 
@@ -110,7 +127,14 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # overlaps them, which measured FASTER than the fused single-shuffle
     # variant (candidates.FusedBucketExploder): 129s vs ~200s at sf0.1 —
     # concurrency across smaller shuffles beats one big barrier here.
-    sig_reps = reps.filter(expr="n_shingles > 0")
+    # one slim materialized rep table feeds all three branches (instead
+    # of three filter passes over tagged)
+    sig_reps = tagged.filter(
+        expr="is_rep == True and n_shingles > 0").drop_columns(
+        ["pid", "is_rep", "rep_node", "rep_url", "chash", "chash2",
+         "n_shingles"])
+    if cfg.checkpoint_dir is None:
+        sig_reps = sig_reps.materialize()
     band_explode = cand.BandExploder(cfg)
     sim_explode = cand.SimhashChunkExploder(cfg)
     win_explode = cand.WinnowExploder(cfg)
@@ -120,37 +144,51 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # bottleneck (BASELINE.md).  Winnow/span candidates are exempt (their
     # whole point is low-Jaccard long-shared-span pairs).
     est_min = cfg.borderline_jaccard - cfg.prefilter_margin
-    minhash_cands = (sig_reps
-                     .map_batches(lambda b: band_explode(b),
-                                  batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
-                     .groupby("band_key")
-                     .map_groups(cand.make_band_pairs_fn(
-                         cfg.band_group_cap, est_min=est_min),
-                         batch_format="pyarrow"))
-    simhash_cands = (sig_reps
-                     .map_batches(lambda b: sim_explode(b),
-                                  batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
-                     .groupby("chunk_key")
-                     .map_groups(cand.make_simhash_pairs_fn(
-                         cfg.band_group_cap, cfg.simhash_max_hamming,
-                         est_min=est_min),
-                         batch_format="pyarrow"))
-    winnow_cands = (sig_reps
-                    .map_batches(lambda b: win_explode(b),
-                                 batch_format="pyarrow",
-                                 batch_size=cfg.batch_size)
-                    .groupby("fp_key")
-                    .map_groups(cand.make_winnow_pairs_fn(
-                        cfg.winnow_group_cap), batch_format="pyarrow"))
+    # bucket keys are hashed into cfg.bucket_partitions pids; equal-key
+    # runs are detected vectorized inside each pid group, so per-group
+    # Python overhead is paid ~128 times instead of once per bucket
+    # (measured 3-4x on the candidate stage — most buckets are singletons)
+    nb = cfg.bucket_partitions
+    minhash_cands = (cand.add_pid(
+        sig_reps.map_batches(lambda b: band_explode(b),
+                             batch_format="pyarrow",
+                             batch_size=None), "band_key", nb)
+        .groupby("pid")
+        .map_groups(cand.make_partition_pairs_fn(
+            "band_key", cfg.band_group_cap, "minhash", est_min=est_min),
+            batch_format="pyarrow"))
+    simhash_cands = (cand.add_pid(
+        sig_reps.map_batches(lambda b: sim_explode(b),
+                             batch_format="pyarrow",
+                             batch_size=None), "chunk_key", nb)
+        .groupby("pid")
+        .map_groups(cand.make_partition_pairs_fn(
+            "chunk_key", cfg.band_group_cap, "simhash", est_min=est_min,
+            with_simhash=True, max_hamming=cfg.simhash_max_hamming),
+            batch_format="pyarrow"))
+    winnow_cands = (cand.add_pid(
+        sig_reps.map_batches(lambda b: win_explode(b),
+                             batch_format="pyarrow",
+                             batch_size=None), "fp_key", nb)
+        .groupby("pid")
+        .map_groups(cand.make_partition_pairs_fn(
+            "fp_key", cfg.winnow_group_cap, "winnow"),
+            batch_format="pyarrow"))
 
-    all_cands = (minhash_cands.union(simhash_cands).union(winnow_cands)
-                 .groupby(["node_a", "node_b"])
-                 .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    all_cands = (cand.add_pair_pid(
+        minhash_cands.union(simhash_cands).union(winnow_cands), nb)
+        .groupby("pid")
+        .map_groups(cand.make_dedup_pairs_partition_fn(
+            winnow_min_hits=cfg.winnow_min_hits,
+            winnow_est_min=cfg.winnow_est_min),
+            batch_format="pyarrow"))
 
-    # --- exact-Jaccard verification (2 hash joins on node id) ------------
+    # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
+        if cfg.verify_strategy == "reduce":
+            return verify_pairs_reduce(
+                all_cands, signatures, cfg,
+                keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard)
         with_sets = attach_shingles(all_cands, signatures, cfg)
         return with_sets.map_batches(
             jaccard_batch, batch_format="pyarrow",

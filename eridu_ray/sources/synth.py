@@ -21,8 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
-from eridu_ray.kernels.shingle import (jaccard, longest_common_substring_len,
-                                       shingle_set)
+from eridu_ray.kernels.shingle import (jaccard32, longest_common_substring_len,
+                                       shingle_set32)
 from eridu_ray.kernels.text import normalize_text, render_html
 from eridu_ray.kernels.unionfind import connected_components
 
@@ -187,14 +187,14 @@ def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
     for doc_id, idxs in by_doc.items():
         if len(idxs) < 2:
             continue
-        sets = {i: shingle_set(normalize_text(texts[i]), k=cfg.shingle_k,
-                               seed=cfg.seed) for i in idxs}
+        sets = {i: shingle_set32(normalize_text(texts[i]), k=cfg.shingle_k,
+                                 seed=cfg.seed) for i in idxs}
         for ai in range(len(idxs)):
             for bi in range(ai + 1, len(idxs)):
                 i, j = idxs[ai], idxs[bi]
                 iu, ju = ((i, j) if urls[i] <= urls[j] else (j, i))
                 ua, ub = urls[iu], urls[ju]
-                jac = jaccard(sets[i], sets[j])
+                jac = jaccard32(sets[i], sets[j])
                 is_span = "span" in ua or "span" in ub
                 in_border = (cfg.borderline_jaccard <= jac
                              < cfg.dup_jaccard)
@@ -247,14 +247,20 @@ def truth_for_batch(batch: pa.Table, cfg: PipelineConfig,
 
 
 def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
-                         seed: int = 31337, repeat: int = 1) -> dict:
+                         seed: int = 31337, repeat: int = 1,
+                         fatten: int = 0) -> dict:
     """Distributed (Ray) page generation with optional replication.
 
     ``repeat`` replicates the documents table with disjoint doc_id ranges
-    (each replica re-salted per its new doc_id -> independent corpus mass)
-    so benchmarks can scale input volume deterministically.  No ground
-    truth is computed — use :func:`synthesize_corpus` for truth-bearing
-    fixtures.  Cached+manifested like synthesize_corpus.
+    (each replica re-ciphered per its new doc_id -> independent corpus
+    mass) so benchmarks can scale input volume deterministically.
+    ``fatten`` appends ``fatten * len(doc)`` deterministic filler tokens
+    (drawn per doc from a shared 10k-word vocabulary, so cross-doc filler
+    Jaccard stays ~0.003) BEFORE variant expansion: the driver testdata
+    documents average ~0.7 KB while real Common-Crawl extracted text runs
+    1-3 KB, and benchmark scaling behavior depends on per-doc payload.
+    No ground truth is computed — use :func:`synthesize_corpus` for
+    truth-bearing fixtures.  Cached+manifested like synthesize_corpus.
     """
     import json
     import os
@@ -262,7 +268,7 @@ def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
     import ray.data as rd
 
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"-g{GENERATOR_VERSION}-{seed}-r{repeat}-pages")
+           f"-g{GENERATOR_VERSION}-{seed}-r{repeat}-f{fatten}u-pages")
     root = os.path.join(out_dir, tag)
     manifest = os.path.join(root, "_manifest.json")
     if os.path.exists(manifest):
@@ -272,14 +278,30 @@ def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
     def replicate(batch: pa.Table) -> pa.Table:
-        if repeat == 1:
-            return batch
         parts = []
         for r in range(repeat):
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             t = batch.set_column(
                 batch.column_names.index("doc_id"), "doc_id",
                 pa.array(ids + r * 10_000_000, pa.int64()))
+            if fatten:
+                from eridu_ray.kernels.hashing import splitmix64
+
+                texts = t["text"].to_pylist()
+                new_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                fat = []
+                for did, txt in zip(new_ids, texts):
+                    ntok = txt.count(" ") + 1
+                    # unique-per-doc filler tokens: zero cross-doc
+                    # shingle overlap, so padding adds payload without
+                    # adding candidate pairs
+                    hs = splitmix64((np.uint64(did) << np.uint64(24))
+                                    | np.arange(ntok * fatten,
+                                                dtype=np.uint64))
+                    fat.append(txt + " " + " ".join(
+                        f"{int(x) & 0xFFFFFFFFFF:010x}" for x in hs))
+                t = t.set_column(t.column_names.index("text"), "text",
+                                 pa.array(fat, pa.string()))
             parts.append(t)
         return pa.concat_tables(parts)
 

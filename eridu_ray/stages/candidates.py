@@ -79,6 +79,41 @@ def _sketch_matrix(col) -> np.ndarray | None:
         len(blobs), -1)
 
 
+def _bucket_pair_indices(node_id: np.ndarray, cap: int,
+                         sketch: np.ndarray | None = None,
+                         est_min: float | None = None,
+                         simh: np.ndarray | None = None,
+                         max_hamming: int | None = None):
+    """(ii, jj, est) pair indices within one SORTED-by-node bucket.
+
+    Clique below the cap, star (hub = min node) beyond it; optional
+    simhash-hamming gate and sketch-estimate prefilter applied at
+    emission.
+    """
+    n = node_id.shape[0]
+    if n < 2:
+        return None
+    if n <= cap:
+        ii, jj = np.triu_indices(n, k=1)
+    else:  # star fallback: hub = min node; O(n) pairs, keeps CC recall
+        ii = np.zeros(n - 1, dtype=np.int64)
+        jj = np.arange(1, n, dtype=np.int64)
+    if max_hamming is not None:
+        keep = hamming_u64(simh[ii], simh[jj]) <= max_hamming
+        ii, jj = ii[keep], jj[keep]
+        if ii.size == 0:
+            return None
+    est = None
+    if sketch is not None:
+        est = (sketch[ii] == sketch[jj]).mean(axis=1)
+        if est_min is not None:
+            keep = est >= est_min
+            ii, jj, est = ii[keep], jj[keep], est[keep]
+            if ii.size == 0:
+                return None
+    return ii, jj, est
+
+
 def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
                       src: str, sketch: np.ndarray | None = None,
                       est_min: float | None = None) -> pa.Table:
@@ -94,20 +129,11 @@ def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
     urls = [urls[i] for i in order]
     if sketch is not None:
         sketch = sketch[order]
-    n = node_id.shape[0]
-    if n < 2:
+    res = _bucket_pair_indices(node_id, cap, sketch=sketch,
+                               est_min=est_min)
+    if res is None:
         return empty_pairs()
-    if n <= cap:
-        ii, jj = np.triu_indices(n, k=1)
-    else:  # star fallback: hub = min node; O(n) pairs, keeps CC recall
-        ii = np.zeros(n - 1, dtype=np.int64)
-        jj = np.arange(1, n, dtype=np.int64)
-    est = None
-    if sketch is not None:
-        est = (sketch[ii] == sketch[jj]).mean(axis=1)
-        if est_min is not None:
-            keep = est >= est_min
-            ii, jj, est = ii[keep], jj[keep], est[keep]
+    ii, jj, est = res
     return _pairs_table(node_id[ii], node_id[jj],
                         [urls[i] for i in ii], [urls[j] for j in jj], src,
                         est=est)
@@ -119,40 +145,70 @@ def exact_groups_fn(group: pa.Table) -> pa.Table:
     """map_groups over groupby('chash'): emit star edges + one representative.
 
     Output rows are the group's signature rows with an added bool column
-    ``is_rep`` (True once per distinct text) and the hub edge target
+    ``is_rep`` (True once per distinct content) and the hub edge target
     ``rep_node``/``rep_url``; the pipeline splits this into the
     exact-duplicate edge list and the representative set that feeds LSH —
     one shuffle serves both (reference exact dedup:
     dropDuplicates semantics, eridu/etl/filter.py:51-54).
 
-    Byte-equality is verified INSIDE the hash group: a 63-bit chash
-    collision between distinct texts (expected ~5e4 silent merges at
-    10^12 docs) yields separate sub-groups, each with its own
-    representative — so a collision costs a little LSH work, never a
-    false merge.  Groups are tiny, so the per-text dict is cheap.
+    Distinct-content detection inside the hash group uses the SECOND
+    independent content hash (``chash2``): together the keys form a
+    128-bit identity, so a collision between distinct texts is ~2^-128
+    per pair (negligible at 10^12 docs) and the exact path never ships
+    or compares text bytes.  Fully vectorized (lexsort + run detection).
     """
     node = group["node_id"].to_numpy(zero_copy_only=False)
-    urls = group["url"].to_pylist()
     n = group.num_rows
-    is_rep = np.zeros(n, dtype=bool)
-    rep_node = np.empty(n, dtype=np.int64)
-    rep_url: list = [None] * n
-    by_text: dict = {}
-    if n == 1:
-        by_text[0] = [0]
+    if "chash2" in group.column_names and n > 1:
+        ch2 = group["chash2"].to_numpy(zero_copy_only=False)
     else:
-        for i, t in enumerate(group["text"].to_pylist()):
-            by_text.setdefault(t, []).append(i)
-    for idxs in by_text.values():
-        rpos = min(idxs, key=lambda i: node[i])
-        is_rep[rpos] = True
-        for i in idxs:
-            rep_node[i] = node[rpos]
-            rep_url[i] = urls[rpos]
+        ch2 = np.zeros(n, dtype=np.int64)
+    order = np.lexsort((node, ch2))  # runs of equal chash2, min node first
+    ch2_s = ch2[order]
+    new_run = np.concatenate([[True], ch2_s[1:] != ch2_s[:-1]])
+    starts = np.nonzero(new_run)[0]
+    lens = np.diff(np.concatenate([starts, [n]]))
+    rep_sorted_pos = np.repeat(starts, lens)     # per sorted row: its rep
+    rep_row = order[rep_sorted_pos]              # original index of rep
+    is_rep = np.zeros(n, dtype=bool)
+    is_rep[order[starts]] = True
+    rep_node = np.empty(n, dtype=np.int64)
+    rep_node[order] = node[rep_row]
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = rep_row
+    urls = group["url"]
     group = group.append_column("is_rep", pa.array(is_rep))
     group = group.append_column("rep_node", pa.array(rep_node, pa.int64()))
-    group = group.append_column("rep_url", pa.array(rep_url, pa.string()))
+    group = group.append_column("rep_url", urls.take(pa.array(inv)))
     return group
+
+
+def exact_groups_partition_fn(g: pa.Table) -> pa.Table:
+    """Partition-level exact_groups_fn: groupby(pid of chash) with
+    vectorized (chash, chash2) run detection — per-group overhead paid
+    per pid, not per distinct content hash."""
+    node = g["node_id"].to_numpy(zero_copy_only=False)
+    ch = g["chash"].to_numpy(zero_copy_only=False)
+    n = g.num_rows
+    ch2 = (g["chash2"].to_numpy(zero_copy_only=False)
+           if "chash2" in g.column_names else np.zeros(n, dtype=np.int64))
+    order = np.lexsort((node, ch2, ch))
+    ch_s, ch2_s = ch[order], ch2[order]
+    new_run = np.concatenate(
+        [[True], (ch_s[1:] != ch_s[:-1]) | (ch2_s[1:] != ch2_s[:-1])])
+    starts = np.nonzero(new_run)[0]
+    lens = np.diff(np.concatenate([starts, [n]]))
+    rep_row = order[np.repeat(starts, lens)]
+    is_rep = np.zeros(n, dtype=bool)
+    is_rep[order[starts]] = True
+    rep_node = np.empty(n, dtype=np.int64)
+    rep_node[order] = node[rep_row]
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = rep_row
+    g = g.append_column("is_rep", pa.array(is_rep))
+    g = g.append_column("rep_node", pa.array(rep_node, pa.int64()))
+    g = g.append_column("rep_url", g["url"].take(pa.array(inv)))
+    return g
 
 
 # --- MinHash LSH bands ----------------------------------------------------
@@ -291,13 +347,20 @@ class WinnowExploder:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
 
+    SKETCH_SLOTS = 32  # winnow rows are numerous (one per fingerprint):
+                       # carry a quarter-width sketch — enough resolution
+                       # (sigma ~0.087 at J=0.6) for the junk-pair rescue
+                       # rule at a quarter of the traffic
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from eridu_ray.stages.signatures import list_col_to_arrays
+        from eridu_ray.stages.signatures import (list_col_to_arrays,
+                                                 list_col_to_matrix)
 
         if batch.num_rows == 0:
             return pa.table({"fp_key": pa.array([], pa.int64()),
                              "node_id": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string())})
+                             "url": pa.array([], pa.string()),
+                             "sketch": pa.array([], pa.binary())})
         values, offsets = list_col_to_arrays(batch["winnow"])
         counts = np.diff(offsets)
         keys = (values >> np.uint64(1)).astype(np.int64)
@@ -305,9 +368,14 @@ class WinnowExploder:
                          counts)
         urls = np.repeat(
             np.asarray(batch["url"].to_pylist(), dtype=object), counts)
+        sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
+        sk = sketch_from_minhash(sigs[:, :self.SKETCH_SLOTS])
+        sk_rep = sk.take(pa.array(np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), counts)))
         return pa.table({"fp_key": pa.array(keys),
                          "node_id": pa.array(node),
-                         "url": pa.array(urls, pa.string())})
+                         "url": pa.array(urls, pa.string()),
+                         "sketch": sk_rep})
 
 
 def make_winnow_pairs_fn(cap: int):
@@ -358,7 +426,7 @@ class FusedBucketExploder:
                 np.full(w.num_rows, self.FAM_WINNOW, np.int32)),
                 "key": w["fp_key"], "node_id": w["node_id"],
                 "url": w["url"], "simhash": nulls_w,
-                "sketch": pa.nulls(w.num_rows, pa.binary())}),
+                "sketch": w["sketch"]}),
         ])
 
 
@@ -560,3 +628,193 @@ def make_salted_pairs_fn(src: str, est_min: float | None = None,
                             [urls[j] for j in jj2], src, est=est)
 
     return fn
+
+
+# --- partitioned bucket grouping (group-count amortization) ----------------
+#
+# groupby(bucket_key).map_groups pays ~17 µs of per-group overhead; LSH /
+# winnow keyspaces have ~one bucket per exploded row (mostly singletons),
+# so at 10^5-10^6 buckets the overhead dwarfs the actual pair work
+# (measured: the three candidate branches = 30 of 43 s at sf0.1).  The
+# fix: shuffle on pid = hash(bucket_key) % P (P ~ hundreds), then inside
+# each partition detect equal-key runs VECTORIZED (lexsort + diff) and
+# pay Python per-bucket cost only for the few buckets with >= 2 members.
+# Same co-location guarantee (equal key -> equal pid), same output pairs.
+
+def add_pid(ds, key_col: str, num_buckets: int):
+    """Append pid = splitmix64(key) % num_buckets (map_batches)."""
+    from eridu_ray.kernels.hashing import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(keys) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("pid", pa.array(pid))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def make_partition_pairs_fn(key_col: str, cap: int, src: str,
+                            est_min: float | None = None,
+                            with_simhash: bool = False,
+                            max_hamming: int | None = None):
+    """map_groups over groupby('pid'): emit pairs for every bucket run."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        node = g["node_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, keys))  # key runs, pre-sorted by node
+        keys_s = keys[order]
+        node_s = node[order]
+        n = keys_s.shape[0]
+        if n < 2:
+            return empty_pairs()
+        bnd = np.nonzero(keys_s[1:] != keys_s[:-1])[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [n]])
+        multi = np.nonzero(ends - starts >= 2)[0]
+        if multi.size == 0:
+            return empty_pairs()
+        sketch = None
+        if "sketch" in g.column_names:
+            sk = _sketch_matrix(g["sketch"])
+            sketch = sk[order] if sk is not None else None
+        simh_s = None
+        if with_simhash:
+            simh_s = g["simhash"].to_numpy(
+                zero_copy_only=False).view(np.uint64)[order]
+        out_ii, out_jj, out_est = [], [], []
+        for r in multi:
+            s, e = int(starts[r]), int(ends[r])
+            res = _bucket_pair_indices(
+                node_s[s:e], cap,
+                sketch=None if sketch is None else sketch[s:e],
+                est_min=est_min,
+                simh=None if simh_s is None else simh_s[s:e],
+                max_hamming=max_hamming)
+            if res is None:
+                continue
+            ii, jj, est = res
+            out_ii.append(ii + s)
+            out_jj.append(jj + s)
+            if est is not None:
+                out_est.append(est)
+        if not out_ii:
+            return empty_pairs()
+        ii = np.concatenate(out_ii)
+        jj = np.concatenate(out_jj)
+        est = np.concatenate(out_est) if out_est else None
+        urls_all = g["url"].to_pylist()
+        urls_s = [urls_all[i] for i in order]
+        return _pairs_table(node_s[ii], node_s[jj],
+                            [urls_s[i] for i in ii],
+                            [urls_s[j] for j in jj], src, est=est)
+
+    return fn
+
+
+def dedup_pairs_partition_fn(g: pa.Table) -> pa.Table:
+    return make_dedup_pairs_partition_fn()(g)
+
+
+def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
+                                  winnow_est_min: float = 0.0):
+    """Partition-level cross-band pair dedup (same semantics as
+    dedup_pairs_fn): vectorized (node_a, node_b) run detection; unique
+    pairs pass through zero-copy, duplicate runs merge src tags (sorted
+    union) and take the max non-null est.
+
+    ``winnow_min_hits`` > 1 drops WINNOW-ONLY pairs that shared fewer
+    than that many distinct fingerprints AND whose sketch estimate is
+    below ``winnow_est_min``: winnowing guarantees a true span of
+    2*window+k-1 chars shares >= 2 fingerprints (so min_shared_span=200
+    span pairs always survive), borderline near-dups caught by a single
+    fingerprint survive via the estimate, and single-fp common-vocab
+    collisions (the junk-pair storm on dense-vocab corpora: measured
+    4.2M junk candidates x 22KB blobs) never reach the verify shuffle.
+    """
+    def fn(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = g["node_a"].to_numpy(zero_copy_only=False)
+        b = g["node_b"].to_numpy(zero_copy_only=False)
+        n = a.shape[0]
+        if n == 0:
+            return empty_pairs()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new_run = np.concatenate(
+            [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+        starts = np.nonzero(new_run)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        lens = ends - starts
+        is_winnow = pc.equal(g["src"], "winnow").to_numpy(
+            zero_copy_only=False)
+        est_np = g["est"].to_numpy(zero_copy_only=False).astype(np.float64)
+        singles = starts[lens == 1]
+        parts = []
+        if singles.size:
+            keep = order[singles]
+            if winnow_min_hits > 1:
+                # lone winnow hit: junk unless the sketch estimate says
+                # the pair may reach the borderline window
+                rescued = est_np[keep] >= winnow_est_min  # NaN -> False
+                keep = keep[~is_winnow[keep] | rescued]
+            if keep.size:
+                parts.append(g.take(pa.array(keep)))
+        multi = np.nonzero(lens >= 2)[0]
+        if multi.size:
+            srcs = g["src"].to_pylist()
+            urls_a = g["url_a"].to_pylist()
+            urls_b = g["url_b"].to_pylist()
+            na, nb, ua, ub, ms, me = [], [], [], [], [], []
+            for r in multi:
+                s, e = int(starts[r]), int(ends[r])
+                rows = order[s:e]
+                tags = set()
+                whits = 0
+                best = None
+                for i in rows:
+                    tags.update(srcs[i].split(","))
+                    if is_winnow[i]:
+                        whits += 1
+                    v = est_np[i]
+                    if v == v and (best is None or v > best):
+                        best = v
+                if (tags == {"winnow"} and whits < winnow_min_hits
+                        and not (best is not None
+                                 and best >= winnow_est_min)):
+                    continue
+                first = int(rows[0])
+                na.append(a[first])
+                nb.append(b[first])
+                ua.append(urls_a[first])
+                ub.append(urls_b[first])
+                ms.append(",".join(sorted(tags)))
+                me.append(best)
+            if na:
+                parts.append(pa.Table.from_arrays(
+                    [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
+                     pa.array(ua, pa.string()), pa.array(ub, pa.string()),
+                     pa.array(ms, pa.string()),
+                     pa.array(me, pa.float64())],
+                    schema=_PAIR_SCHEMA))
+        if not parts:
+            return empty_pairs()
+        return pa.concat_tables(
+            [p.select(_PAIR_SCHEMA.names) for p in parts])
+
+    return fn
+
+
+def add_pair_pid(ds, num_buckets: int):
+    """pid = hash(node_a, node_b) % num_buckets for pair-dedup co-location."""
+    from eridu_ray.kernels.hashing import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        a = b["node_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["node_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(splitmix64(a) ^ bb)
+               % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("pid", pa.array(pid))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -27,13 +27,13 @@ _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _blob_col_to_arrays(col) -> tuple[np.ndarray, np.ndarray]:
-    """binary uint64-LE blob column -> (flat_values_u64, offsets_i64)."""
+    """binary uint32-LE blob column -> (flat_values_u32, offsets_i64)."""
     blobs = col.to_pylist()
-    arrs = [np.frombuffer(b, dtype=np.uint64) if b is not None
-            else np.empty(0, dtype=np.uint64) for b in blobs]
+    arrs = [np.frombuffer(b, dtype=np.uint32) if b is not None
+            else np.empty(0, dtype=np.uint32) for b in blobs]
     offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
     np.cumsum([a.size for a in arrs], out=offsets[1:])
-    flat = (np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint64))
+    flat = (np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint32))
     return flat, offsets
 
 
@@ -41,8 +41,9 @@ class HashedEncoder:
     """Deterministic shingle-bucket embedding (dim buckets, signed)."""
 
     def __init__(self, cfg: PipelineConfig, dim: int = 256):
-        self.dim = np.uint64(dim)
-        self.sign_bit = np.uint64(63)
+        # verify sets are uint32 (signatures.py wire format)
+        self.dim = np.uint32(dim)
+        self.sign_bit = np.uint32(31)
 
     def embed_shingle_sets(self, values: np.ndarray,
                            offsets: np.ndarray) -> np.ndarray:
@@ -51,7 +52,7 @@ class HashedEncoder:
         dim = int(self.dim)
         out = np.zeros((ndocs, dim), dtype=np.float32)
         bucket = (values % self.dim).astype(np.int64)
-        sign = np.where((values >> self.sign_bit) & np.uint64(1), -1.0, 1.0)
+        sign = np.where((values >> self.sign_bit) & np.uint32(1), -1.0, 1.0)
         doc_idx = np.repeat(np.arange(ndocs),
                             np.diff(offsets).astype(np.int64))
         np.add.at(out, (doc_idx, bucket), sign.astype(np.float32))
@@ -63,7 +64,7 @@ class HashedEncoder:
 class PairScorer:
     """map_batches actor: adds 'similarity' in [0,1] to candidate pairs.
 
-    Batch must carry sh_a/sh_b (list<uint64> shingle sets) — attached by
+    Batch must carry sh_a/sh_b (uint32-LE verify-set blobs) — attached by
     verify.attach_shingles.  Similarity = (cosine + 1) / 2 like the
     reference maps cosine into a match score (eridu/train/utils.py:206-233).
     """
@@ -108,3 +109,67 @@ def threshold_batch(batch: pa.Table, threshold: float,
 
     pred = pc.greater_equal(batch[col], pa.scalar(threshold))
     return batch.append_column("predicted_match", pred)
+
+
+class DocEncoder:
+    """T6: standalone corpus→embedding actor-pool stage.
+
+    The reference encodes every record once for clustering
+    (``model.encode(df['combined_names'])``, Clusters.md:33-39); here the
+    encoder (stub or sentence-transformers, same fallback chain as
+    PairScorer) loads once per actor and each ``__call__`` appends an
+    ``embedding: list<float32>`` column — the same layout as the driver
+    testdata ``embeddings.embedding``, so the output feeds the ANN/IVF
+    operators directly.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, dim: int = 256,
+                 use_sbert: bool = False, model_path: str | None = None,
+                 text_col: str = "text"):
+        self.cfg = cfg or PipelineConfig()
+        self.text_col = text_col
+        self.encoder = None
+        if use_sbert:
+            try:  # pragma: no cover - not available in the sandbox
+                from sentence_transformers import SentenceTransformer
+
+                self.encoder = SentenceTransformer(
+                    model_path or "Graphlet-AI/eridu")
+            except Exception:
+                self.encoder = None
+        self.stub = HashedEncoder(self.cfg, dim=dim)
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        if self.encoder is not None:  # pragma: no cover - sandbox has none
+            m = self.encoder.encode(texts, normalize_embeddings=True)
+        else:
+            from eridu_ray.kernels.shingle import shingle_set32
+
+            sets = [shingle_set32(t or "", k=self.cfg.shingle_k,
+                                  seed=self.cfg.seed) for t in texts]
+            offsets = np.zeros(len(sets) + 1, dtype=np.int64)
+            np.cumsum([s.size for s in sets], out=offsets[1:])
+            flat = (np.concatenate(sets) if sets
+                    else np.empty(0, dtype=np.uint32))
+            m = self.stub.embed_shingle_sets(flat, offsets)
+        n, d = m.shape
+        return batch.append_column(
+            "embedding",
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(m.reshape(-1).astype(np.float32))))
+
+
+def encode_documents(sf_dir: str, dim: int = 256,
+                     concurrency=(1, 4), batch_size: int = 256):
+    """T6 pipeline: documents -> (doc_id, embedding) via the actor pool."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        DocEncoder, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency).drop_columns(["text"])

@@ -87,16 +87,31 @@ class SignatureStage:
         simh = simhash_batch(sets)  # (n,) u64
 
         node_id = _as_i63(hash_strings_u64(urls, seed=cfg.seed))
+        # two independent 64-bit content hashes = a 128-bit exact-dup key:
+        # expected silent collisions at 10^12 docs ~ 10^24 pairs * 2^-128
+        # ~ 3e-15 — the exact path needs no byte comparison (and thus the
+        # exact-group shuffle never ships text)
+        enc = [t.encode("utf-8") for t in texts]
         chash = np.fromiter(
-            (hash_bytes_u64(t.encode("utf-8"), seed=cfg.seed) >> 1
-             for t in texts),
+            (hash_bytes_u64(t, seed=cfg.seed) >> 1 for t in enc),
+            dtype=np.int64, count=len(texts))
+        chash2 = np.fromiter(
+            (hash_bytes_u64(t, seed=cfg.seed ^ 0x5EED5EED) >> 1
+             for t in enc),
             dtype=np.int64, count=len(texts))
         sizes = np.array([s.size for s in sets], dtype=np.int32)
 
-        shingle_values = (np.concatenate(sets) if sets and sum(sizes) else
-                          np.empty(0, dtype=np.uint64))
-        shingle_offsets = np.zeros(len(sets) + 1, dtype=np.int32)
-        np.cumsum(sizes, out=shingle_offsets[1:])
+        # retained VERIFY sets: 32-bit projection (kernels.shingle
+        # .to_verify_set32 — halves the verify-shuffle blob traffic;
+        # minhash/simhash/winnow above keep the 64-bit hashes)
+        from eridu_ray.kernels.shingle import to_verify_set32
+
+        sets32 = [to_verify_set32(s) for s in sets]
+        sizes32 = np.array([s.size for s in sets32], dtype=np.int32)
+        shingle_values = (np.concatenate(sets32) if sets32 and sizes32.sum()
+                          else np.empty(0, dtype=np.uint32))
+        shingle_offsets = np.zeros(len(sets32) + 1, dtype=np.int64)
+        np.cumsum(sizes32, out=shingle_offsets[1:])
 
         win_sizes = np.array([w.size for w in winnows], dtype=np.int32)
         win_values = (np.concatenate(winnows) if winnows and win_sizes.sum()
@@ -108,6 +123,7 @@ class SignatureStage:
             "url": pa.array(urls, pa.string()),
             "node_id": pa.array(node_id),
             "chash": pa.array(chash),
+            "chash2": pa.array(chash2),
             "text": pa.array(texts, pa.string()),
             "n_shingles": pa.array(sizes),
             "minhash": pa.ListArray.from_arrays(
@@ -115,13 +131,13 @@ class SignatureStage:
                                    cfg.num_perms, dtype=np.int32)),
                 pa.array(sigs.reshape(-1))),
             "simhash": pa.array(simh.view(np.int64)),
-            # shingle set as uint64-LE blob: Acero joins reject list
+            # verify set as uint32-LE blob: Acero joins reject list
             # payloads, so this is the join-ready wire format from the
-            # start (decode with np.frombuffer)
+            # start (decode with verify.blob_to_u32)
             "shingles": pa.array(
                 [shingle_values[shingle_offsets[i]:
                                 shingle_offsets[i + 1]].tobytes()
-                 for i in range(len(sets))], pa.binary()),
+                 for i in range(len(sets32))], pa.binary()),
             "winnow": pa.ListArray.from_arrays(
                 pa.array(win_offsets), pa.array(win_values)),
         })

@@ -1,11 +1,18 @@
 """Exact-Jaccard verification of candidate pairs.
 
-Candidates re-acquire both sides' retained shingle sets via two
-hash-partitioned joins keyed on node id (SURVEY.md §7.1 SHUFFLE #3; the
-reference's analog is the map-side lookup join, eridu/etl/cluster_split.py:249),
-then exact Jaccard is computed per pair.  Join shuffles only the shingle
-sets of urls that actually appear in candidates (inner-join semi-join
-effect); the full corpus text never moves.
+Two implementations:
+
+- ``attach_shingles`` + ``jaccard_batch``: two Acero hash joins keyed on
+  node id (SURVEY.md §7.1 SHUFFLE #3), then per-pair exact Jaccard.
+  Joins duplicate a node's shingle blob once per pair it appears in,
+  and Ray 2.49's join aggregator actors reserve whole CPUs (the
+  measured 16-partition width cap, BASELINE.md round 1).
+- ``verify_pairs_reduce``: the same semantics as TWO reduce-side joins
+  (union + sort-groupby on node id) with the Jaccard computation FUSED
+  into the second join's group function.  Each node's blob is shuffled
+  once per pass (not once per pair), sh_b never rides on pair rows, and
+  no join-aggregator actors are reserved — the sort shuffle runs as
+  plain tasks at any width.  This is the flagship default.
 """
 
 from __future__ import annotations
@@ -16,17 +23,18 @@ import pyarrow as pa
 from eridu_ray.config import PipelineConfig
 
 
-def blob_to_u64(buf) -> np.ndarray:
-    return (np.frombuffer(buf, dtype=np.uint64) if buf is not None
-            else np.empty(0, dtype=np.uint64))
+def blob_to_u32(buf) -> np.ndarray:
+    """uint32-LE verify-set blob -> sorted-unique uint32 array."""
+    return (np.frombuffer(buf, dtype=np.uint32) if buf is not None
+            else np.empty(0, dtype=np.uint32))
 
 
 def attach_shingles(candidates, signatures, cfg: PipelineConfig,
                     column: str = "shingles"):
     """pairs (node_a, node_b, ...) join signatures twice -> + sh_a, sh_b.
 
-    sh_a/sh_b are binary uint64-LE blobs (the signature stage's native
-    shingle format — decode with blob_to_u64).
+    sh_a/sh_b are binary uint32-LE verify-set blobs (the signature
+    stage's wire format — decode with blob_to_u32).
     """
     side = signatures.select_columns(["node_id", column])
     a_side = side.rename_columns({column: "sh_a", "node_id": "na_key"})
@@ -42,7 +50,7 @@ def attach_shingles(candidates, signatures, cfg: PipelineConfig,
 
 def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
                   keep_hi: float | None = None) -> pa.Table:
-    """Add exact 'jaccard' column from sh_a/sh_b (uint64-LE blobs).
+    """Add exact 'jaccard' column from sh_a/sh_b (uint32-LE blobs).
 
     When (keep_lo, keep_hi) is given, sh_a/sh_b are retained (nulled
     outside the [keep_lo, keep_hi) window) so the borderline scorer stage
@@ -54,8 +62,8 @@ def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
     blobs_a = batch["sh_a"].to_pylist() if n else []
     blobs_b = batch["sh_b"].to_pylist() if n else []
     for i in range(n):
-        a = blob_to_u64(blobs_a[i])
-        b = blob_to_u64(blobs_b[i])
+        a = blob_to_u32(blobs_a[i])
+        b = blob_to_u32(blobs_b[i])
         if a.size == 0 and b.size == 0:
             out[i] = 1.0
         elif a.size == 0 or b.size == 0:
@@ -73,3 +81,176 @@ def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
         batch = batch.append_column("sh_a", pa.array(kept_a, pa.binary()))
         batch = batch.append_column("sh_b", pa.array(kept_b, pa.binary()))
     return batch.append_column("jaccard", pa.array(out))
+
+
+# --- reduce-side verify (union + groupby join, fused Jaccard) --------------
+
+_P1_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("kind", pa.int8()), ("blob", pa.binary()),
+    ("node_a", pa.int64()), ("node_b", pa.int64()),
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("src", pa.string()), ("est", pa.float64()),
+])
+
+_P1_OUT_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("kind", pa.int8()), ("blob", pa.binary()),
+    ("node_a", pa.int64()), ("node_b", pa.int64()),
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("src", pa.string()), ("est", pa.float64()), ("sh_a", pa.binary()),
+])
+
+_VERIFIED_SCHEMA = pa.schema([
+    ("node_a", pa.int64()), ("node_b", pa.int64()),
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("src", pa.string()), ("est", pa.float64()),
+    ("sh_a", pa.binary()), ("sh_b", pa.binary()),
+    ("jaccard", pa.float64()),
+])
+
+
+def _sig_side(signatures, column: str):
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [b["node_id"], pa.array(np.zeros(n, np.int8)), b[column],
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.float64())],
+            schema=_P1_SCHEMA)
+
+    return signatures.select_columns(["node_id", column]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
+                        keep_lo: float | None = None,
+                        keep_hi: float | None = None,
+                        column: str = "shingles"):
+    """pairs + signatures -> verified pairs with exact 'jaccard'.
+
+    Pass 1: union(sig rows keyed node_id, pair rows keyed node_a) ->
+    groupby(pid) -> pair rows acquire sh_a (their key run's single sig
+    blob).  Pass 2: same keyed on node_b; the group function computes
+    exact Jaccard in place (sh_b never leaves the group) and retains
+    blobs only inside the [keep_lo, keep_hi) borderline window for the
+    scorer.  Groups are pid = hash(node) % bucket_partitions with
+    vectorized equal-key run detection inside — per-group Python
+    overhead is paid ~hundreds of times, not once per corpus node.
+    Output schema matches attach_shingles + jaccard_batch.
+    """
+    from eridu_ray.kernels.hashing import splitmix64
+
+    nb = cfg.bucket_partitions
+
+    def with_pid(tab: pa.Table) -> pa.Table:
+        keys = tab["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(keys) % np.uint64(nb)).astype(np.int32)
+        return tab.append_column("pid", pa.array(pid))
+
+    sig1 = _sig_side(signatures, column).map_batches(
+        with_pid, batch_format="pyarrow")
+
+    def pair_side1(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return with_pid(pa.Table.from_arrays(
+            [b["node_a"], pa.array(np.ones(n, np.int8)),
+             pa.nulls(n, pa.binary()),
+             b["node_a"], b["node_b"], b["url_a"], b["url_b"],
+             b["src"], b["est"]],
+            schema=_P1_SCHEMA))
+
+    u1 = sig1.union(candidates.map_batches(pair_side1,
+                                           batch_format="pyarrow"))
+
+    def _runs(g: pa.Table):
+        """lexsorted (key, kind) run spans with a kind-0 (sig) head."""
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, keys))
+        k_s = keys[order]
+        kd_s = kind[order]
+        n = k_s.shape[0]
+        bnd = np.nonzero(k_s[1:] != k_s[:-1])[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [n]])
+        live = (ends - starts >= 2) & (kd_s[starts] == 0)
+        return order, starts[live], ends[live]
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        order, starts, ends = _runs(g)
+        if starts.size == 0:
+            return _P1_OUT_SCHEMA.empty_table()
+        blobs = g["blob"].to_pylist()
+        pair_idx, sh_a = [], []
+        for s, e in zip(starts, ends):
+            blob = blobs[order[s]]
+            rows = order[s + 1:e]
+            pair_idx.extend(int(r) for r in rows)
+            sh_a.extend([blob] * (e - s - 1))
+        pairs = g.take(pa.array(pair_idx)).select(
+            [f.name for f in _P1_SCHEMA])
+        return pairs.append_column("sh_a", pa.array(sh_a, pa.binary()))
+
+    p1 = u1.groupby("pid").map_groups(attach_a, batch_format="pyarrow")
+
+    # sig side for pass 2 needs the extra sh_a column to union with p1
+    def sig_side2(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return with_pid(pa.Table.from_arrays(
+            [b["node_id"], pa.array(np.zeros(n, np.int8)), b[column],
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.float64()),
+             pa.nulls(n, pa.binary())],
+            schema=_P1_OUT_SCHEMA))
+
+    sig2 = signatures.select_columns(["node_id", column]).map_batches(
+        sig_side2, batch_format="pyarrow")
+
+    def rekey_b(b: pa.Table) -> pa.Table:
+        b = b.set_column(0, "key", b["node_b"])
+        if "pid" in b.column_names:
+            b = b.drop_columns(["pid"])
+        return with_pid(b)
+
+    u2 = sig2.union(p1.map_batches(rekey_b, batch_format="pyarrow"))
+
+    def attach_b_and_jaccard(g: pa.Table) -> pa.Table:
+        order, starts, ends = _runs(g)
+        if starts.size == 0:
+            return _VERIFIED_SCHEMA.empty_table()
+        blobs = g["blob"].to_pylist()
+        blobs_a_all = g["sh_a"].to_pylist()
+        pair_idx, jac_out, kept_a, kept_b = [], [], [], []
+        for s, e in zip(starts, ends):
+            blob_b = blobs[order[s]]
+            sb = blob_to_u32(blob_b)
+            for r in order[s + 1:e]:
+                r = int(r)
+                sa = blob_to_u32(blobs_a_all[r])
+                if sa.size == 0 and sb.size == 0:
+                    j = 1.0
+                elif sa.size == 0 or sb.size == 0:
+                    j = 0.0
+                else:
+                    inter = np.intersect1d(sa, sb,
+                                           assume_unique=True).size
+                    j = inter / (sa.size + sb.size - inter)
+                pair_idx.append(r)
+                jac_out.append(j)
+                if keep_lo is not None and keep_lo <= j < keep_hi:
+                    kept_a.append(blobs_a_all[r])
+                    kept_b.append(blob_b)
+                else:
+                    kept_a.append(None)
+                    kept_b.append(None)
+        pairs = g.take(pa.array(pair_idx))
+        return pa.Table.from_arrays(
+            [pairs["node_a"], pairs["node_b"], pairs["url_a"],
+             pairs["url_b"], pairs["src"], pairs["est"],
+             pa.array(kept_a, pa.binary()), pa.array(kept_b, pa.binary()),
+             pa.array(jac_out, pa.float64())],
+            schema=_VERIFIED_SCHEMA)
+
+    return u2.groupby("pid").map_groups(attach_b_and_jaccard,
+                                        batch_format="pyarrow")

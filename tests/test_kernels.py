@@ -236,3 +236,27 @@ def test_connected_components_oracle():
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == comp[5] == 4
     assert comp[9] == 9
+
+
+def test_verify_set32_projection():
+    """u32 verify sets: deterministic projection of the u64 sets, shared
+    by the pipeline blob format and the ground-truth kernel."""
+    from eridu_ray.kernels import shingle
+
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = "the quick brown fox jumps over the lazy cat " * 5
+    a64 = shingle.shingle_set(t1, k=5, seed=31337)
+    a32 = shingle.shingle_set32(t1, k=5, seed=31337)
+    assert a32.dtype == np.uint32
+    assert np.array_equal(a32, shingle.to_verify_set32(a64))
+    assert np.array_equal(a32, np.sort(a32))
+    # projection preserves Jaccard to within the collision bound
+    b64 = shingle.shingle_set(t2, k=5, seed=31337)
+    b32 = shingle.shingle_set32(t2, k=5, seed=31337)
+    j64 = shingle.jaccard(a64, b64)
+    j32 = shingle.jaccard32(a32, b32)
+    assert abs(j64 - j32) < 1e-3
+    assert shingle.jaccard32(a32, a32) == 1.0
+    empty = np.empty(0, dtype=np.uint32)
+    assert shingle.jaccard32(empty, empty) == 1.0
+    assert shingle.jaccard32(a32, empty) == 0.0

@@ -16,20 +16,20 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def brute_dup_pairs():
     """Brute-force char-5-gram Jaccard >= 0.8 pairs over sf0.001 docs."""
-    from eridu_ray.kernels.shingle import jaccard, shingle_set
+    from eridu_ray.kernels.shingle import jaccard32, shingle_set32
     from eridu_ray.kernels.text import normalize_text
 
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"])
     ids = docs["doc_id"].to_pylist()
-    sets = [shingle_set(normalize_text(t), 5, 31337)
+    sets = [shingle_set32(normalize_text(t), 5, 31337)
             for t in docs["text"].to_pylist()]
     out = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             if min(sets[i].size, sets[j].size) == 0:
                 continue
-            if jaccard(sets[i], sets[j]) >= 0.8:
+            if jaccard32(sets[i], sets[j]) >= 0.8:
                 out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     return out
 
@@ -145,15 +145,15 @@ def test_multimodal_actor_pool_pipeline():
 # --- scorer ---------------------------------------------------------------
 
 def test_scorer_deterministic_and_batch_invariant():
-    from eridu_ray.kernels.shingle import shingle_set
+    from eridu_ray.kernels.shingle import shingle_set32
     from eridu_ray.stages.scorer import PairScorer
 
     texts_a = ["the quick brown fox jumps over the lazy dog " * 3,
                "completely different content about engines " * 3]
     texts_b = ["the quick brown fox jumps over the lazy cat " * 3,
                "unrelated text concerning astronomy and stars " * 3]
-    blobs_a = [shingle_set(t, 5, 31337).tobytes() for t in texts_a]
-    blobs_b = [shingle_set(t, 5, 31337).tobytes() for t in texts_b]
+    blobs_a = [shingle_set32(t, 5, 31337).tobytes() for t in texts_a]
+    blobs_b = [shingle_set32(t, 5, 31337).tobytes() for t in texts_b]
     batch = pa.table({"sh_a": pa.array(blobs_a, pa.binary()),
                       "sh_b": pa.array(blobs_b, pa.binary())})
     s1 = PairScorer()(batch)["similarity"].to_pylist()
@@ -202,18 +202,18 @@ def test_salted_giant_bucket_pair_recall(giant_bucket_dir):
     """Pair-emitting MinHash op must keep full pair recall when a bucket
     is far beyond band_group_cap (VERDICT r1 'What's wrong' #5: the old
     star fallback silently under-reported pairs in hot buckets)."""
-    from eridu_ray.kernels.shingle import jaccard, shingle_set
+    from eridu_ray.kernels.shingle import jaccard32, shingle_set32
     from eridu_ray.kernels.text import normalize_text
     from eridu_ray.pipelines.text_dedup import minhash_lsh_pairs
 
     docs = pq.read_table(f"{giant_bucket_dir}/documents.parquet")
     ids = docs["doc_id"].to_pylist()
-    sets = [shingle_set(normalize_text(t), 5, 31337)
+    sets = [shingle_set32(normalize_text(t), 5, 31337)
             for t in docs["text"].to_pylist()]
     brute = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
-            if jaccard(sets[i], sets[j]) >= 0.8:
+            if jaccard32(sets[i], sets[j]) >= 0.8:
                 brute.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert len(brute) > 40000  # the bucket really is giant
 
@@ -257,3 +257,25 @@ def test_ivf_partition_pruning(tmp_path):
     got = idx.topk(queries, k=5, nprobe=2).to_pandas()
     assert set(got.query_id) <= {0, 1}
     assert (got.groupby("query_id").size() <= 5).all()
+
+
+def test_doc_encoder_stage():
+    """T6: corpus->embedding actor-pool stage — deterministic, unit-norm,
+    ANN-compatible layout."""
+    from eridu_ray.stages.ann import brute_topk
+    from eridu_ray.stages.scorer import encode_documents
+
+    out = encode_documents(SF, dim=64, concurrency=(1, 2))
+    emb = out.to_pandas()
+    assert len(emb) == 500 and set(emb.columns) == {"doc_id", "embedding"}
+    v = np.array(emb.embedding.iloc[0])
+    assert v.shape == (64,)
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    emb2 = encode_documents(SF, dim=64, concurrency=(1, 2)).to_pandas()
+    a = np.stack(emb.sort_values("doc_id").embedding.to_numpy())
+    b = np.stack(emb2.sort_values("doc_id").embedding.to_numpy())
+    assert np.array_equal(a, b)
+    # layout feeds the ANN operators directly
+    renamed = out.rename_columns({"doc_id": "vec_id"})
+    top = brute_topk(renamed, [emb.doc_id.iloc[0]], k=3).to_pandas()
+    assert len(top) == 3

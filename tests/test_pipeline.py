@@ -147,3 +147,22 @@ def test_scorer_stage_is_load_bearing(corpus, result):
     got_on = _partitions(dict(zip(labels["url"], labels["component"])))
     got_off = _partitions(dict(zip(loff["url"], loff["component"])))
     assert got_on != got_off
+
+
+def test_verify_strategies_identical(corpus, result):
+    """The reduce-side fused verify join must produce byte-identical
+    labels to the Acero two-join path (layout knob, not semantics)."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    _, labels, _ = result
+    # num_partitions=2: Acero join aggregator actors reserve whole CPUs
+    # and livelock beside the scorer actor pool on the 4-CPU test session
+    # (the round-1 measured pitfall the reduce strategy exists to avoid)
+    res_acero = run_dedup(rd.from_arrow(pages),
+                          PipelineConfig(num_partitions=2,
+                                         verify_strategy="acero"))
+    la = res_acero.labels.to_pandas().sort_values("url").reset_index(
+        drop=True)
+    lb = labels.sort_values("url").reset_index(drop=True)
+    assert la.equals(lb)
