@@ -166,3 +166,18 @@ def test_verify_strategies_identical(corpus, result):
         drop=True)
     lb = labels.sort_values("url").reset_index(drop=True)
     assert la.equals(lb)
+
+
+def test_driver_and_distributed_label_paths_identical(corpus, result):
+    """The broadcast driver-CC label assembly and the distributed
+    label-propagation + join path must produce byte-identical labels."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    _, labels, _ = result
+    res2 = run_dedup(rd.from_arrow(pages),
+                     PipelineConfig(num_partitions=4,
+                                    cc_driver_max_edges=0))
+    l2 = res2.labels.to_pandas().sort_values("url").reset_index(drop=True)
+    l1 = labels.sort_values("url").reset_index(drop=True)
+    assert l1.equals(l2)
