@@ -9,7 +9,9 @@ Usage:
 Env:
     GRAFT_SF_DIR       input tables dir   (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS     ray.init num_cpus  (default 32)
-    ERIDU_BENCH_REPEAT corpus replication (default 4 -> ~35k pages at sf0.1)
+    ERIDU_BENCH_REPEAT corpus replication (default 4 -> ~40k pages at
+                       sf0.1; --scaling defaults to 16 -> ~158k pages)
+    ERIDU_BENCH_FAT    pad pages to realistic size (default 3 -> ~2.8KB)
 """
 
 from __future__ import annotations
@@ -102,6 +104,11 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling needs the large corpus: the small default input is
+        # fixed-overhead-bound and measures scheduler latency, not the
+        # engine (BASELINE.md scaling table)
+        if "ERIDU_BENCH_REPEAT" not in os.environ:
+            env["ERIDU_BENCH_REPEAT"] = "16"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
