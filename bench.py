@@ -45,10 +45,6 @@ def run_bench() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     import ray.data as rd
 
-    # push-based shuffle: the sort fallback stalls with queued inputs on
-    # wide DAGs (measured: 95s -> 48s at 32 cpus, 158k pages)
-    rd.DataContext.get_current().use_push_based_shuffle = True
-
     from eridu_ray.config import PipelineConfig
     from eridu_ray.pipelines import relational
     from eridu_ray.pipelines.dedup import run_dedup
@@ -68,11 +64,23 @@ def run_bench() -> dict:
     n_pages = rd.read_parquet(info["pages"],
                               override_num_blocks=nblocks).count()
 
-    t0 = time.perf_counter()
-    res = run_dedup(rd.read_parquet(info["pages"],
-                                    override_num_blocks=nblocks), cfg)
-    n_labels = res.labels.count()
-    flagship_sec = time.perf_counter() - t0
+    # push-based shuffle, scoped to the FLAGSHIP only: it fixes the sort
+    # fallback's queued-input stalls on the wide dedup DAG (measured:
+    # 95s -> 48s at 32 cpus, 158k pages) but the r2 bench set it globally
+    # and the small relational aggregations regressed 2-3.5x under it
+    # (BENCH_r02 vs r01) — restore the default before the query loop.
+    from ray.data.context import ShuffleStrategy
+    ctx = rd.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        t0 = time.perf_counter()
+        res = run_dedup(rd.read_parquet(info["pages"],
+                                        override_num_blocks=nblocks), cfg)
+        n_labels = res.labels.count()
+        flagship_sec = time.perf_counter() - t0
+    finally:
+        ctx.shuffle_strategy = prev_strategy
     assert n_labels == n_pages, (n_labels, n_pages)
 
     queries = {"dedup_flagship": round(flagship_sec, 3)}

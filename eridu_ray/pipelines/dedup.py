@@ -388,56 +388,68 @@ def _labels_via_driver_cc(edges, signatures, cfg: PipelineConfig):
     byte-identical to the distributed join/relabel path (asserted in
     tests/test_components.py and the cross-parallelism pipeline test).
     """
+    import numpy as np
     import ray
 
-    from eridu_ray.kernels.unionfind import UnionFind
+    from eridu_ray.kernels.unionfind import components_from_edges
 
-    uf = UnionFind()
-    node_url: dict[int, str] = {}
+    na_parts, nb_parts, ua_parts, ub_parts = [], [], [], []
     for b in edges.select_columns(
             ["node_a", "node_b", "url_a", "url_b"]).iter_batches(
             batch_format="pyarrow", batch_size=262144):
-        na = b["node_a"].to_numpy(zero_copy_only=False)
-        nb = b["node_b"].to_numpy(zero_copy_only=False)
-        ua = b["url_a"].to_pylist()
-        ub = b["url_b"].to_pylist()
-        for i in range(len(na)):
-            x, y = int(na[i]), int(nb[i])
-            uf.union(x, y)
-            node_url[x] = ua[i]
-            node_url[y] = ub[i]
-    comp_url: dict[int, str] = {}
-    comp_size: dict[int, int] = {}
-    for node, url in node_url.items():
-        r = uf.find(node)
-        cu = comp_url.get(r)
-        if cu is None or url < cu:
-            comp_url[r] = url
-        comp_size[r] = comp_size.get(r, 0) + 1
+        na_parts.append(b["node_a"].to_numpy(zero_copy_only=False))
+        nb_parts.append(b["node_b"].to_numpy(zero_copy_only=False))
+        ua_parts.append(np.asarray(b["url_a"].to_pylist(), dtype=object))
+        ub_parts.append(np.asarray(b["url_b"].to_pylist(), dtype=object))
+    na = (np.concatenate(na_parts) if na_parts
+          else np.empty(0, np.int64))
+    nbv = (np.concatenate(nb_parts) if nb_parts
+           else np.empty(0, np.int64))
+    if na.size == 0:
+        # duplicate-free corpus: every node is a singleton; skip the
+        # lookup entirely (an empty nodes array must never be indexed —
+        # ADVICE r2 high)
+        nodes_sorted = np.empty(0, np.int64)
+        comps = np.empty(0, dtype=object)
+        sizes = np.empty(0, np.int64)
+    else:
+        # vectorized exact CC (numpy min-label propagation — same
+        # min-node-id labels as UnionFind; no per-edge Python)
+        nodes_sorted, labels = components_from_edges(na, nbv)
+        ends = np.concatenate([na, nbv])
+        urls = np.concatenate(ua_parts + ub_parts)
+        # node -> url (node_id is a hash of url, so the map is a function)
+        uniq_pos = np.searchsorted(nodes_sorted, ends)
+        url_per_node = np.empty(nodes_sorted.size, dtype=object)
+        url_per_node[uniq_pos] = urls
+        # canonical per-component min url + member count, via pandas
+        # groupby over the (bounded) clustered-node table
+        import pandas as pd
 
-    import numpy as np
-
-    nodes_sorted = np.fromiter(sorted(node_url), dtype=np.int64,
-                               count=len(node_url))
-    comps = np.array([comp_url[uf.find(int(n))] for n in nodes_sorted],
-                     dtype=object)
-    sizes = np.array([comp_size[uf.find(int(n))] for n in nodes_sorted],
-                     dtype=np.int64)
+        grp = pd.DataFrame({"lab": labels, "url": url_per_node}).groupby(
+            "lab", sort=False)
+        comps = grp["url"].transform("min").to_numpy(dtype=object)
+        sizes = grp["url"].transform("size").to_numpy(dtype=np.int64)
     ref = ray.put((nodes_sorted, comps, sizes))
 
     def assign(batch: pa.Table) -> pa.Table:
         ns, cs, sz = ray.get(ref)
         node = batch["node_id"].to_numpy(zero_copy_only=False)
-        urls = batch["url"].to_pylist()
-        idx = np.searchsorted(ns, node)
-        idx_c = np.clip(idx, 0, max(0, ns.size - 1))
-        found = (ns.size > 0) & (ns[idx_c] == node)
-        comp = [cs[idx_c[i]] if found[i] else urls[i]
-                for i in range(len(urls))]
-        size = np.where(found, sz[idx_c] if ns.size else 1, 1)
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        if ns.size == 0:
+            return pa.table({
+                "url": batch["url"],
+                "component": batch["url"],
+                "component_size": pa.array(
+                    np.ones(batch.num_rows, np.int64)),
+            })
+        idx_c = np.clip(np.searchsorted(ns, node), 0, ns.size - 1)
+        found = ns[idx_c] == node
+        comp = np.where(found, cs[idx_c], urls)
+        size = np.where(found, sz[idx_c], 1)
         return pa.table({
             "url": batch["url"],
-            "component": pa.array(comp, pa.string()),
+            "component": pa.array(comp.tolist(), pa.string()),
             "component_size": pa.array(size.astype(np.int64)),
         })
 

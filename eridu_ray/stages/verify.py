@@ -48,6 +48,46 @@ def attach_shingles(candidates, signatures, cfg: PipelineConfig,
     return out  # join drops the right-side key columns itself
 
 
+def _batched_jaccard(blobs_a: list, blobs_b: list) -> np.ndarray:
+    """Exact Jaccard for aligned lists of uint32-LE sorted-set blobs.
+
+    One vectorized sort-merge membership pass for the WHOLE batch: each
+    row's elements are tagged with the row id in the high 32 bits, so the
+    concatenated b-side key array is globally sorted and a single
+    ``np.searchsorted`` answers every per-row membership test at once.
+    Per-row intersection sizes fall out of a cumsum over the hit mask.
+    Replaces the per-pair ``np.intersect1d`` loop that was 50% of the
+    flagship wall (VERDICT r2 #1); results are bit-identical (same
+    integer counts, same float division).
+    """
+    n = len(blobs_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    sz_a = np.fromiter((len(b) >> 2 if b is not None else 0
+                        for b in blobs_a), dtype=np.int64, count=n)
+    sz_b = np.fromiter((len(b) >> 2 if b is not None else 0
+                        for b in blobs_b), dtype=np.int64, count=n)
+    cat_a = np.frombuffer(
+        b"".join(b for b in blobs_a if b is not None), dtype=np.uint32)
+    cat_b = np.frombuffer(
+        b"".join(b for b in blobs_b if b is not None), dtype=np.uint32)
+    row_ids = np.arange(n, dtype=np.uint64) << np.uint64(32)
+    a_keys = cat_a.astype(np.uint64) | np.repeat(row_ids, sz_a)
+    b_keys = cat_b.astype(np.uint64) | np.repeat(row_ids, sz_b)
+    if b_keys.size:
+        pos = np.searchsorted(b_keys, a_keys)
+        np.clip(pos, 0, b_keys.size - 1, out=pos)
+        hits = b_keys[pos] == a_keys
+    else:
+        hits = np.zeros(a_keys.size, dtype=bool)
+    cs = np.concatenate([[0], np.cumsum(hits)])
+    offs = np.concatenate([[0], np.cumsum(sz_a)])
+    inter = cs[offs[1:]] - cs[offs[:-1]]
+    union = sz_a + sz_b - inter
+    # both-empty rows: union == 0 -> Jaccard defined as 1.0
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
                   keep_hi: float | None = None) -> pa.Table:
     """Add exact 'jaccard' column from sh_a/sh_b (uint32-LE blobs).
@@ -58,19 +98,9 @@ def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
     two shuffles saved per run.  Otherwise the blobs are dropped.
     """
     n = batch.num_rows
-    out = np.empty(n, dtype=np.float64)
     blobs_a = batch["sh_a"].to_pylist() if n else []
     blobs_b = batch["sh_b"].to_pylist() if n else []
-    for i in range(n):
-        a = blob_to_u32(blobs_a[i])
-        b = blob_to_u32(blobs_b[i])
-        if a.size == 0 and b.size == 0:
-            out[i] = 1.0
-        elif a.size == 0 or b.size == 0:
-            out[i] = 0.0
-        else:
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            out[i] = inter / (a.size + b.size - inter)
+    out = _batched_jaccard(blobs_a, blobs_b)
     if keep_lo is None:
         batch = batch.drop_columns(["sh_a", "sh_b"])
     else:
@@ -216,40 +246,65 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
     u2 = sig2.union(p1.map_batches(rekey_b, batch_format="pyarrow"))
 
     def attach_b_and_jaccard(g: pa.Table) -> pa.Table:
+        # Fully-vectorized group verify: one tagged sort-merge membership
+        # pass for every pair in the group (run id in the high 32 bits of
+        # a uint64 key keeps each run's sb elements distinct while the
+        # concatenated array stays globally sorted).  Each run's sb blob
+        # is decoded ONCE; no per-pair numpy allocations (VERDICT r2 #1 —
+        # this stage was 50% of the flagship wall).
         order, starts, ends = _runs(g)
         if starts.size == 0:
             return _VERIFIED_SCHEMA.empty_table()
         blobs = g["blob"].to_pylist()
         blobs_a_all = g["sh_a"].to_pylist()
-        pair_idx, jac_out, kept_a, kept_b = [], [], [], []
-        for s, e in zip(starts, ends):
-            blob_b = blobs[order[s]]
-            sb = blob_to_u32(blob_b)
-            for r in order[s + 1:e]:
-                r = int(r)
-                sa = blob_to_u32(blobs_a_all[r])
-                if sa.size == 0 and sb.size == 0:
-                    j = 1.0
-                elif sa.size == 0 or sb.size == 0:
-                    j = 0.0
-                else:
-                    inter = np.intersect1d(sa, sb,
-                                           assume_unique=True).size
-                    j = inter / (sa.size + sb.size - inter)
-                pair_idx.append(r)
-                jac_out.append(j)
-                if keep_lo is not None and keep_lo <= j < keep_hi:
-                    kept_a.append(blobs_a_all[r])
-                    kept_b.append(blob_b)
-                else:
-                    kept_a.append(None)
-                    kept_b.append(None)
+        n_runs = starts.size
+        pair_counts = ends - starts - 1
+        pair_idx = np.concatenate(
+            [order[s + 1:e] for s, e in zip(starts, ends)])
+        head_blobs = [blobs[int(i)] for i in order[starts]]
+        sb_sizes = np.fromiter(
+            (len(b) >> 2 if b is not None else 0 for b in head_blobs),
+            dtype=np.int64, count=n_runs)
+        sb_cat = np.frombuffer(
+            b"".join(b for b in head_blobs if b is not None),
+            dtype=np.uint32)
+        run_tag = np.arange(n_runs, dtype=np.uint64) << np.uint64(32)
+        sb_keys = sb_cat.astype(np.uint64) | np.repeat(run_tag, sb_sizes)
+        pair_run = np.repeat(np.arange(n_runs), pair_counts)
+        sa_blobs = [blobs_a_all[int(r)] for r in pair_idx]
+        sa_sizes = np.fromiter(
+            (len(b) >> 2 if b is not None else 0 for b in sa_blobs),
+            dtype=np.int64, count=len(sa_blobs))
+        sa_cat = np.frombuffer(
+            b"".join(b for b in sa_blobs if b is not None),
+            dtype=np.uint32)
+        sa_keys = sa_cat.astype(np.uint64) | np.repeat(
+            run_tag[pair_run], sa_sizes)
+        if sb_keys.size:
+            pos = np.searchsorted(sb_keys, sa_keys)
+            np.clip(pos, 0, sb_keys.size - 1, out=pos)
+            hits = sb_keys[pos] == sa_keys
+        else:
+            hits = np.zeros(sa_keys.size, dtype=bool)
+        cs = np.concatenate([[0], np.cumsum(hits)])
+        offs = np.concatenate([[0], np.cumsum(sa_sizes)])
+        inter = cs[offs[1:]] - cs[offs[:-1]]
+        union = sa_sizes + sb_sizes[pair_run] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        if keep_lo is not None:
+            keep = (jac >= keep_lo) & (jac < keep_hi)
+            kept_a = [b if k else None for b, k in zip(sa_blobs, keep)]
+            kept_b = [head_blobs[r] if k else None
+                      for r, k in zip(pair_run, keep)]
+        else:
+            kept_a = [None] * len(sa_blobs)
+            kept_b = kept_a
         pairs = g.take(pa.array(pair_idx))
         return pa.Table.from_arrays(
             [pairs["node_a"], pairs["node_b"], pairs["url_a"],
              pairs["url_b"], pairs["src"], pairs["est"],
              pa.array(kept_a, pa.binary()), pa.array(kept_b, pa.binary()),
-             pa.array(jac_out, pa.float64())],
+             pa.array(jac, pa.float64())],
             schema=_VERIFIED_SCHEMA)
 
     return u2.groupby("pid").map_groups(attach_b_and_jaccard,

@@ -181,3 +181,25 @@ def test_driver_and_distributed_label_paths_identical(corpus, result):
     l2 = res2.labels.to_pandas().sort_values("url").reset_index(drop=True)
     l1 = labels.sort_values("url").reset_index(drop=True)
     assert l1.equals(l2)
+
+
+def test_duplicate_free_corpus_all_singletons():
+    """A corpus with ZERO duplicate pairs must flow through the default
+    driver-CC label path (n_edges=0 <= cc_driver_max_edges) and label
+    every page a singleton — the empty edge list must never be indexed
+    (ADVICE r2 high: empty-nodes IndexError in _labels_via_driver_cc)."""
+    import ray.data as rd
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(
+        0, 60)
+    pages = expand_documents_batch(docs, seed=31337)
+    # keep only the per-doc base page: the per-doc cipher makes every
+    # remaining text pairwise-unrelated (J~0 cross-doc)
+    base = pages.filter(
+        pa.compute.match_substring(pages["url"], "/base"))
+    res = run_dedup(rd.from_arrow(base), PipelineConfig(num_partitions=2))
+    assert res.edges.count() == 0
+    labels = res.labels.to_pandas()
+    assert len(labels) == base.num_rows
+    assert (labels["component"] == labels["url"]).all()
+    assert (labels["component_size"] == 1).all()
