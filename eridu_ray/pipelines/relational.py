@@ -569,71 +569,21 @@ def q_embedding_topk(sf_dir):
 
 
 def q_embedding_neardup(sf_dir):
-    """Embedding-cosine near-dup pairs: EXACT threshold self-join as
-    block-pair Ray tasks over object-store blocks.
+    """Embedding-cosine near-dup pairs: EXACT threshold self-join via
+    IVF-cell cohabitation (stages/ann.neardup_pairs).
 
-    Neither side is materialized on the driver or broadcast whole
-    (VERDICT r1 #4): blocks stay in the object store (``to_arrow_refs``)
-    and each task compares one block pair.  Block pairs are PRUNED with a
-    centroid-angle bound before any matmul — for L2-normalized vectors
-    angle(a,b) >= angle(c_i,c_j) - r_i - r_j, so a block pair whose
-    best-case cosine is below the threshold never runs.  (Raw Ray tasks:
-    the Dataset API has no cross join; this is the documented
-    last-resort case.)  Result pairs are tiny and driver-collected.
+    The whole op is a Dataset pipeline — multi-probe cell assignment
+    (triangle-inequality completeness radius), per-cell home×all exact
+    matmul, pair-keyed dedup shuffle.  The driver never enumerates
+    block pairs (the r2 version looped O(B²) block pairs in Python —
+    10^10 iterations at 10^5 blocks); candidate work is linear in
+    cells × replication, and the replication factor shrinks as the
+    threshold tightens (pruning asserted in tests/test_ops.py).
     """
-    import ray
+    from eridu_ray.stages.ann import neardup_pairs
 
-    THRESH = 0.45
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).repartition(8)
-    refs = emb.to_arrow_refs()
-
-    @ray.remote
-    def block_stats(tab: pa.Table):
-        m = _embedding_matrix(tab)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        c = m.mean(axis=0)
-        nc = np.linalg.norm(c)
-        if nc == 0:
-            return np.zeros(m.shape[1]), 0.0  # max radius: never pruned
-        c = c / nc
-        return c, float((m @ c).min())  # min cosine to centroid
-
-    @ray.remote
-    def block_pairs(ta: pa.Table, tb: pa.Table, same: bool):
-        ma = _embedding_matrix(ta)
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-        va = ta["vec_id"].to_numpy(zero_copy_only=False)
-        if same:
-            sims = ma @ ma.T
-            ii, jj = np.nonzero(np.triu(sims >= THRESH, k=1))
-            vb = va
-        else:
-            mb = _embedding_matrix(tb)
-            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
-            vb = tb["vec_id"].to_numpy(zero_copy_only=False)
-            ii, jj = np.nonzero((ma @ mb.T) >= THRESH)
-        lo = np.minimum(va[ii], vb[jj])
-        hi = np.maximum(va[ii], vb[jj])
-        return pa.table({"vec_id_a": pa.array(lo, pa.int64()),
-                         "vec_id_b": pa.array(hi, pa.int64())})
-
-    stats = ray.get([block_stats.remote(r) for r in refs])
-    cents = np.stack([s[0] for s in stats])
-    radii = np.arccos(np.clip([s[1] for s in stats], -1.0, 1.0))
-    tasks = []
-    for i in range(len(refs)):
-        for j in range(i, len(refs)):
-            if i != j:
-                theta = np.arccos(np.clip(float(cents[i] @ cents[j]),
-                                          -1.0, 1.0))
-                best_cos = np.cos(max(0.0, theta - radii[i] - radii[j]))
-                if best_cos < THRESH:
-                    continue  # centroid bound: block pair can't reach it
-            tasks.append(block_pairs.remote(refs[i], refs[j], i == j))
-    parts = ray.get(tasks)
-    schema = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
-    return pa.concat_tables([schema.empty_table()]
-                            + [p.cast(schema) for p in parts])
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return neardup_pairs(emb, thresh=0.45, n_centroids=8)
 
 
 # --- categorized evaluation examples (O3) ---------------------------------
