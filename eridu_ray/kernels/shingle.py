@@ -66,21 +66,72 @@ def winnow_select(positional_hashes: np.ndarray,
                   window: int = 64) -> np.ndarray:
     """Winnowing selection sequence: min hash per sliding window, with
     consecutive duplicates collapsed, in positional order."""
+    return winnow_select_runs(positional_hashes, window=window)[0]
+
+
+def winnow_select_runs(positional_hashes: np.ndarray,
+                       window: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """(values, runs): the collapsed winnowing selection sequence plus,
+    per selection, how many consecutive windows it stayed the minimum.
+
+    A single occurrence of a hash can be the window minimum for at most
+    ``window`` consecutive windows (then it falls out of the window), so
+    ``runs > window`` proves the value re-occurs within the text — the
+    signature of a REPETITIVE region (see :func:`repetition_marker_fps`).
+    """
     h = positional_hashes
     if h.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
     if h.size <= window:
-        return h.min(keepdims=True)
+        return h.min(keepdims=True), np.ones(1, dtype=np.int64)
     mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
     keep = np.empty(mins.size, dtype=bool)
     keep[0] = True
     np.not_equal(mins[1:], mins[:-1], out=keep[1:])
-    return mins[keep]
+    starts = np.nonzero(keep)[0]
+    runs = np.diff(np.concatenate([starts, [mins.size]]))
+    return mins[starts], runs
+
+
+_REP1 = np.uint64(0x9E3779B97F4A7C15)
+_REP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def repetition_marker_fps(values: np.ndarray, runs: np.ndarray,
+                          window: int) -> np.ndarray:
+    """Marker fingerprints for repetitive regions (two per repeated value).
+
+    Plain winnow bigrams collapse a span that repeats a short motif
+    ("résumé résumé ...") to <2 distinct fingerprints — consecutive
+    duplicate minima are collapsed, so two documents sharing only a long
+    REPETITIVE span would fall below the winnow_min_hits junk-pair guard
+    and the true substring edge would be silently dropped (ADVICE r2).
+    A selection whose run exceeds ``window`` windows must re-occur in the
+    text (repetition); emitting TWO derived markers for it gives any pair
+    sharing that repetitive region >= 2 shared fingerprints — content-
+    defined, offset-independent, identical in both documents.  Regions
+    shorter than ~2*window never trigger (run <= window), and a false
+    candidate this creates still faces the exact rolling-hash span verify.
+    """
+    rep = values[runs > window]
+    if rep.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    m = splitmix64(rep)
+    return np.concatenate([splitmix64(m ^ _REP1), splitmix64(m ^ _REP2)])
+
+
+def _winnow_bigram_fps(sel: np.ndarray) -> np.ndarray:
+    """Selection sequence -> bigram fingerprint values (unsorted)."""
+    if sel.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if sel.size == 1:
+        return splitmix64(sel)
+    return splitmix64(splitmix64(sel[:-1]) ^ sel[1:])
 
 
 def winnow_fingerprints(text: str, k: int = 5, window: int = 64,
                         seed: int = 0) -> np.ndarray:
-    """Winnowing fingerprint BIGRAMS: hashes of consecutive selections.
+    """Winnowing fingerprint BIGRAMS + repetition markers.
 
     Plain winnowing (Schleimer et al. SIGMOD'03) guarantees one shared
     selection per shared span >= window + k - 1, but selections are global
@@ -90,16 +141,14 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 64,
     selections keeps span detection — two texts sharing a span of length
     >= 2*window + k - 1 share at least one full (fp_i, fp_{i+1}) bigram —
     while a collision now requires two adjacent minima to agree, which
-    only happens inside genuinely shared text.  Returns sorted unique
-    uint64 bigram hashes.
+    only happens inside genuinely shared text.  Repetitive spans (which
+    collapse to <2 distinct bigrams) are covered by the markers of
+    :func:`repetition_marker_fps`.  Returns sorted unique uint64 hashes.
     """
-    sel = winnow_select(shingle_hashes(text, k=k, seed=seed), window=window)
-    if sel.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    if sel.size == 1:
-        return np.unique(splitmix64(sel))
-    bigrams = splitmix64(splitmix64(sel[:-1]) ^ sel[1:])
-    return np.unique(bigrams)
+    sel, runs = winnow_select_runs(shingle_hashes(text, k=k, seed=seed),
+                                   window=window)
+    return np.unique(np.concatenate([
+        _winnow_bigram_fps(sel), repetition_marker_fps(sel, runs, window)]))
 
 
 def cdc_fingerprints(text: str, positional_hashes: np.ndarray,

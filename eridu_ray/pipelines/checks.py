@@ -89,6 +89,22 @@ def evaluate_checks(cfg: PipelineConfig | None = None,
     return pa.Table.from_pylist(rows)
 
 
+def checks_metrics_by_schema(results: pa.Table) -> dict[str, dict]:
+    """Per-schema accuracy/P/R/F1 — the reference evaluates the checks
+    corpus per schema category (Person/Company/Address/Location filter,
+    eridu/etl/checks_evaluation.py:37-49, metrics :144-177); our corpus'
+    categories are Page/Snippet/Empty/Unicode/Paragraph.  Built on the
+    M13 schema filter semantics: each schema's metrics are exactly
+    ``checks_metrics`` of that schema's row subset."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for schema in sorted(set(results["schema"].to_pylist())):
+        sub = results.filter(pc.equal(results["schema"], schema))
+        out[schema] = checks_metrics(sub)
+    return out
+
+
 def checks_metrics(results: pa.Table) -> dict:
     """Accuracy/P/R/F1 over the checks corpus (checks_evaluation.py:144-177)."""
     exp = results["expected"].to_pylist()

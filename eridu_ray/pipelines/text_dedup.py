@@ -53,7 +53,11 @@ def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
     triangle-salted (candidates.make_salted_explode): every pair of the
     original bucket is enumerated exactly once, split across s(s+1)/2
     bounded sub-buckets.  ``stats`` (optional) records the hot-bucket
-    count and the (always-zero-by-construction) dropped-pair counter.
+    count and the (always-zero-by-construction) SALT-dropped-pair
+    counter.  Note the counter is salting-only: with ``est_min`` set,
+    the sketch-estimate prefilter still prunes pairs whose 128-slot
+    MinHash estimate falls below it — a noisy-estimate recall tradeoff
+    bounded by cfg.prefilter_margin (~3 sigma), not a salting loss.
     """
     exploded = (sigs.filter(expr="n_shingles > 0")
                 .map_batches(lambda b: exploder(b), batch_format="pyarrow",
@@ -61,7 +65,8 @@ def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
     salts = cand.hot_bucket_salts(exploded, key_col, cfg.band_group_cap)
     if stats is not None:
         stats["hot_buckets"] = len(salts)
-        stats["dropped_pairs"] = 0  # salting enumerates every pair
+        stats["salt_dropped_pairs"] = 0  # salting enumerates every pair
+        stats["est_prefilter_active"] = est_min is not None
     salted = exploded.map_batches(
         cand.make_salted_explode(key_col, salts, cfg.seed),
         batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -255,8 +255,9 @@ def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
     (each replica re-ciphered per its new doc_id -> independent corpus
     mass) so benchmarks can scale input volume deterministically.
     ``fatten`` appends ``fatten * len(doc)`` deterministic filler tokens
-    (drawn per doc from a shared 10k-word vocabulary, so cross-doc filler
-    Jaccard stays ~0.003) BEFORE variant expansion: the driver testdata
+    (unique-per-doc splitmix64 hex tokens — ZERO cross-doc shingle
+    overlap, so padding adds payload bytes without adding candidate
+    pairs) BEFORE variant expansion: the driver testdata
     documents average ~0.7 KB while real Common-Crawl extracted text runs
     1-3 KB, and benchmark scaling behavior depends on per-doc payload.
     No ground truth is computed — use :func:`synthesize_corpus` for

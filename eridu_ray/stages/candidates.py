@@ -37,14 +37,17 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
-def _pairs_table(na, nb, ua, ub, src: str, est=None) -> pa.Table:
+def _pairs_table(na, nb, ua, ub, src, est=None) -> pa.Table:
+    """src: one tag for every pair (str) or a per-pair sequence."""
     n = len(na)
     est_arr = (pa.nulls(n, pa.float64()) if est is None
                else pa.array(np.asarray(est, dtype=np.float64)))
+    src_arr = (pa.array([src] * n, pa.string()) if isinstance(src, str)
+               else pa.array(list(src), pa.string()))
     return pa.Table.from_arrays(
         [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
          pa.array(ua, pa.string()), pa.array(ub, pa.string()),
-         pa.array([src] * n, pa.string()), est_arr],
+         src_arr, est_arr],
         schema=_PAIR_SCHEMA)
 
 
@@ -84,16 +87,19 @@ def _bucket_pair_indices(node_id: np.ndarray, cap: int,
                          est_min: float | None = None,
                          simh: np.ndarray | None = None,
                          max_hamming: int | None = None):
-    """(ii, jj, est) pair indices within one SORTED-by-node bucket.
+    """(ii, jj, est, star) pair indices within one SORTED-by-node bucket.
 
     Clique below the cap, star (hub = min node) beyond it; optional
     simhash-hamming gate and sketch-estimate prefilter applied at
-    emission.
+    emission.  ``star`` flags the fallback so callers can tag the pairs
+    (a star bucket under-counts per-pair fingerprint hits, so the
+    junk-pair guard must not apply its hit-count rule to them).
     """
     n = node_id.shape[0]
     if n < 2:
         return None
-    if n <= cap:
+    star = n > cap
+    if not star:
         ii, jj = np.triu_indices(n, k=1)
     else:  # star fallback: hub = min node; O(n) pairs, keeps CC recall
         ii = np.zeros(n - 1, dtype=np.int64)
@@ -111,7 +117,7 @@ def _bucket_pair_indices(node_id: np.ndarray, cap: int,
             ii, jj, est = ii[keep], jj[keep], est[keep]
             if ii.size == 0:
                 return None
-    return ii, jj, est
+    return ii, jj, est, star
 
 
 def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
@@ -123,6 +129,8 @@ def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
     and pairs below ``est_min`` are dropped at emission (identical to
     filtering after the cross-band dedup, since the sketch — hence the
     estimate — is the same for a pair no matter which bucket emitted it).
+    Star-fallback pairs get the tag ``src + "*"`` (hit-count-exempt at
+    the junk-pair guard — the star drops co-occurrence rows).
     """
     order = np.argsort(node_id, kind="stable")
     node_id = node_id[order]
@@ -133,10 +141,10 @@ def _emit_group_pairs(node_id: np.ndarray, urls: list[str], cap: int,
                                est_min=est_min)
     if res is None:
         return empty_pairs()
-    ii, jj, est = res
+    ii, jj, est, star = res
     return _pairs_table(node_id[ii], node_id[jj],
-                        [urls[i] for i in ii], [urls[j] for j in jj], src,
-                        est=est)
+                        [urls[i] for i in ii], [urls[j] for j in jj],
+                        src + "*" if star else src, est=est)
 
 
 # --- exact (content hash) -------------------------------------------------
@@ -312,7 +320,8 @@ def make_simhash_pairs_fn(cap: int, max_hamming: int,
         n = node.shape[0]
         if n < 2:
             return empty_pairs()
-        if n <= cap:
+        star = n > cap
+        if not star:
             ii, jj = np.triu_indices(n, k=1)
         else:
             ii = np.zeros(n - 1, dtype=np.int64)
@@ -329,7 +338,7 @@ def make_simhash_pairs_fn(cap: int, max_hamming: int,
                 ii, jj, est = ii[k2], jj[k2], est[k2]
         return _pairs_table(node[ii], node[jj],
                             [urls[i] for i in ii], [urls[j] for j in jj],
-                            "simhash", est=est)
+                            "simhash*" if star else "simhash", est=est)
     return simhash_pairs
 
 
@@ -682,7 +691,8 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
         if with_simhash:
             simh_s = g["simhash"].to_numpy(
                 zero_copy_only=False).view(np.uint64)[order]
-        out_ii, out_jj, out_est = [], [], []
+        out_ii, out_jj, out_est, out_src = [], [], [], []
+        star_src = src + "*"
         for r in multi:
             s, e = int(starts[r]), int(ends[r])
             res = _bucket_pair_indices(
@@ -693,9 +703,10 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
                 max_hamming=max_hamming)
             if res is None:
                 continue
-            ii, jj, est = res
+            ii, jj, est, star = res
             out_ii.append(ii + s)
             out_jj.append(jj + s)
+            out_src.append((star_src if star else src, ii.size))
             if est is not None:
                 out_est.append(est)
         if not out_ii:
@@ -703,11 +714,13 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
         ii = np.concatenate(out_ii)
         jj = np.concatenate(out_jj)
         est = np.concatenate(out_est) if out_est else None
+        srcs = ([t for tag, cnt in out_src for t in (tag,) * cnt]
+                if any(tag != src for tag, _ in out_src) else src)
         urls_all = g["url"].to_pylist()
         urls_s = [urls_all[i] for i in order]
         return _pairs_table(node_s[ii], node_s[jj],
                             [urls_s[i] for i in ii],
-                            [urls_s[j] for j in jj], src, est=est)
+                            [urls_s[j] for j in jj], srcs, est=est)
 
     return fn
 
@@ -725,12 +738,18 @@ def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
 
     ``winnow_min_hits`` > 1 drops WINNOW-ONLY pairs that shared fewer
     than that many distinct fingerprints AND whose sketch estimate is
-    below ``winnow_est_min``: winnowing guarantees a true span of
-    2*window+k-1 chars shares >= 2 fingerprints (so min_shared_span=200
-    span pairs always survive), borderline near-dups caught by a single
-    fingerprint survive via the estimate, and single-fp common-vocab
-    collisions (the junk-pair storm on dense-vocab corpora: measured
-    4.2M junk candidates x 22KB blobs) never reach the verify shuffle.
+    below ``winnow_est_min``: a true NON-repetitive span of
+    3*window+k-1 = 196 < min_shared_span chars shares >= 2 bigram
+    fingerprints, a REPETITIVE span >= ~2*window shares >= 2 repetition
+    markers (kernels.shingle.repetition_marker_fps — ADVICE r2 case a),
+    borderline near-dups caught by a single fingerprint survive via the
+    estimate, and single-fp common-vocab collisions (the junk-pair storm
+    on dense-vocab corpora: measured 4.2M junk candidates x 22KB blobs)
+    never reach the verify shuffle.  Pairs emitted by a star-fallback
+    bucket carry the tag "winnow*" and are EXEMPT from the hit count
+    (ADVICE r2 case b: the star drops co-occurrence rows, so the count
+    under-states true sharing); the guard key below is the exact tag
+    "winnow", so starred pairs pass through.
     """
     def fn(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -61,26 +61,51 @@ class HashedEncoder:
         return out / norms
 
 
+def load_sbert_encoder(model_path: str | None = None):
+    """T1 model loader with the reference's fallback chain
+    (eridu/etl/compare.py:32-61): exact path -> path minus trailing
+    "-suffix" -> the public HF hub id.  Returns None when
+    sentence-transformers or every candidate is unavailable (this
+    sandbox: always None — callers fall back to the hashed stub)."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except Exception:
+        return None
+    cands = []
+    if model_path:
+        cands.append(model_path)
+        base = model_path.rsplit("-", 1)[0]
+        if base and base != model_path:
+            cands.append(base)
+    cands.append("Graphlet-AI/eridu")
+    for c in cands:  # pragma: no cover - needs the model artifact
+        try:
+            return SentenceTransformer(c)
+        except Exception:
+            continue
+    return None  # pragma: no cover
+
+
 class PairScorer:
     """map_batches actor: adds 'similarity' in [0,1] to candidate pairs.
 
     Batch must carry sh_a/sh_b (uint32-LE verify-set blobs) — attached by
     verify.attach_shingles.  Similarity = (cosine + 1) / 2 like the
     reference maps cosine into a match score (eridu/train/utils.py:206-233).
+
+    ``encoder`` injects any object with the SentenceTransformer batch
+    interface ``encode(texts, normalize_embeddings=True) -> (n, d)``
+    (reference scoring loop: eridu/train/utils.py:153-235); when batches
+    carry text_a/text_b the injected/loaded encoder scores them, else the
+    deterministic shingle-bucket stub does.
     """
 
     def __init__(self, cfg: PipelineConfig | None = None,
-                 use_sbert: bool = False, model_path: str | None = None):
+                 use_sbert: bool = False, model_path: str | None = None,
+                 encoder=None):
         self.cfg = cfg or PipelineConfig()
-        self.encoder = None
-        if use_sbert:
-            try:  # pragma: no cover - not available in the sandbox
-                from sentence_transformers import SentenceTransformer
-
-                self.encoder = SentenceTransformer(
-                    model_path or "Graphlet-AI/eridu")
-            except Exception:
-                self.encoder = None
+        self.encoder = encoder if encoder is not None else (
+            load_sbert_encoder(model_path) if use_sbert else None)
         self.stub = HashedEncoder(self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,10 +113,10 @@ class PairScorer:
             return batch.append_column("similarity",
                                        pa.array([], pa.float64()))
         if self.encoder is not None and "text_a" in batch.column_names:
-            ea = self.encoder.encode(batch["text_a"].to_pylist(),
-                                     normalize_embeddings=True)
-            eb = self.encoder.encode(batch["text_b"].to_pylist(),
-                                     normalize_embeddings=True)
+            ea = np.asarray(self.encoder.encode(
+                batch["text_a"].to_pylist(), normalize_embeddings=True))
+            eb = np.asarray(self.encoder.encode(
+                batch["text_b"].to_pylist(), normalize_embeddings=True))
         else:
             va, oa = _blob_col_to_arrays(batch["sh_a"])
             vb, ob = _blob_col_to_arrays(batch["sh_b"])
@@ -125,25 +150,19 @@ class DocEncoder:
 
     def __init__(self, cfg: PipelineConfig | None = None, dim: int = 256,
                  use_sbert: bool = False, model_path: str | None = None,
-                 text_col: str = "text"):
+                 text_col: str = "text", encoder=None):
         self.cfg = cfg or PipelineConfig()
         self.text_col = text_col
-        self.encoder = None
-        if use_sbert:
-            try:  # pragma: no cover - not available in the sandbox
-                from sentence_transformers import SentenceTransformer
-
-                self.encoder = SentenceTransformer(
-                    model_path or "Graphlet-AI/eridu")
-            except Exception:
-                self.encoder = None
+        self.encoder = encoder if encoder is not None else (
+            load_sbert_encoder(model_path) if use_sbert else None)
         self.stub = HashedEncoder(self.cfg, dim=dim)
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        if self.encoder is not None:  # pragma: no cover - sandbox has none
-            m = self.encoder.encode(texts, normalize_embeddings=True)
+        if self.encoder is not None:
+            m = np.asarray(
+                self.encoder.encode(texts, normalize_embeddings=True))
         else:
             from eridu_ray.kernels.shingle import shingle_set32
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 from eridu_ray.config import PipelineConfig
 from eridu_ray.kernels.hashing import hash_bytes_u64, hash_strings_u64
 from eridu_ray.kernels.minhash import minhash_params, minhash_signatures_batch
-from eridu_ray.kernels.shingle import shingle_hashes, winnow_fingerprints
+from eridu_ray.kernels.shingle import shingle_hashes
 from eridu_ray.kernels.simhash import simhash_batch
 from eridu_ray.kernels.text import extract_text, normalize_text
 
@@ -32,21 +32,21 @@ _ONE = np.uint64(1)
 
 def _span_fingerprints(text_norm: str, positional: np.ndarray,
                        window: int, seed: int) -> np.ndarray:
-    """Substring-stage candidate fingerprints: winnow bigrams ∪ CDC chunk
-    hashes (see kernels.shingle docstrings for the two guarantees — the
-    union covers each family's rare miss case)."""
-    from eridu_ray.kernels.hashing import splitmix64
-    from eridu_ray.kernels.shingle import cdc_fingerprints, winnow_select
+    """Substring-stage candidate fingerprints: winnow bigrams ∪ repetition
+    markers ∪ CDC chunk hashes (see kernels.shingle docstrings for the
+    per-family guarantees — the union covers each family's miss case:
+    CDC catches short-winnow tails, markers catch repetitive spans that
+    collapse to <2 bigrams and would die at the junk-pair guard)."""
+    from eridu_ray.kernels.shingle import (_winnow_bigram_fps,
+                                           cdc_fingerprints,
+                                           repetition_marker_fps,
+                                           winnow_select_runs)
 
-    sel = winnow_select(positional, window=window)
-    if sel.size == 0:
-        bigrams = np.empty(0, dtype=np.uint64)
-    elif sel.size == 1:
-        bigrams = splitmix64(sel)
-    else:
-        bigrams = splitmix64(splitmix64(sel[:-1]) ^ sel[1:])
+    sel, runs = winnow_select_runs(positional, window=window)
+    bigrams = _winnow_bigram_fps(sel)
+    markers = repetition_marker_fps(sel, runs, window)
     cdc = cdc_fingerprints(text_norm, positional, seed=seed)
-    return np.unique(np.concatenate([bigrams, cdc]))
+    return np.unique(np.concatenate([bigrams, markers, cdc]))
 
 
 def _as_i63(u: np.ndarray) -> np.ndarray:

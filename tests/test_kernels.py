@@ -181,6 +181,33 @@ def test_winnowing_no_common_vocab_collision():
     assert np.intersect1d(fa, fb).size == 0
 
 
+def test_winnowing_repetitive_span_markers():
+    # A long span repeating a short motif collapses to <2 distinct bigram
+    # fingerprints (consecutive duplicate minima are collapsed), which the
+    # winnow_min_hits=2 junk-pair guard would eat (ADVICE r2).  The
+    # repetition markers must give two docs sharing such a span >= 2
+    # shared fingerprints.
+    k, w = 5, 64
+    span = "résumé " * 40                      # 280 chars, 7-char motif
+    a = "AAAA unique prefix " * 6 + span + " aftermath alpha " * 6
+    b = "BBBB other opening " * 8 + span + " closing words beta " * 5
+    fa = shingle.winnow_fingerprints(a, k=k, window=w)
+    fb = shingle.winnow_fingerprints(b, k=k, window=w)
+    assert np.intersect1d(fa, fb).size >= 2
+    # a short repetition (well under ~2*window chars) must NOT trigger
+    sel, runs = shingle.winnow_select_runs(
+        shingle.shingle_hashes("xy " * 20, k=k), window=w)
+    assert shingle.repetition_marker_fps(sel, runs, w).size == 0
+
+
+def test_winnow_select_runs_matches_select():
+    h = shingle.shingle_hashes("some ordinary text " * 30, k=5)
+    vals, runs = shingle.winnow_select_runs(h, window=64)
+    assert np.array_equal(vals, shingle.winnow_select(h, window=64))
+    assert runs.sum() == max(h.size - 64 + 1, 1)
+    assert (runs > 0).all()
+
+
 def test_longest_common_substring():
     assert shingle.longest_common_substring_len("abcdef", "zzabczz") == 3
     assert shingle.longest_common_substring_len("", "abc") == 0

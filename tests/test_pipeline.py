@@ -183,6 +183,37 @@ def test_driver_and_distributed_label_paths_identical(corpus, result):
     assert l1.equals(l2)
 
 
+def test_repetitive_span_pair_survives_guard():
+    """Two docs whose ONLY relation is a >=200-char REPETITIVE shared span
+    (a short motif repeated): plain winnow bigrams collapse such a span to
+    <2 distinct fingerprints, and with full-doc Jaccard ~0 the sketch
+    estimate cannot rescue the pair either — the winnow_min_hits=2
+    junk-pair guard used to drop the true substring edge before verify
+    (ADVICE r2 medium).  The repetition markers must carry it through."""
+    import ray.data as rd
+
+    span = "res-ume " * 30                       # 240 chars, 8-char motif
+    rows = []
+    for i, (name, spanful) in enumerate(
+            [("a", True), ("b", True), ("c", False), ("d", False)]):
+        filler = " ".join(f"tok{name}{j}x{(j * 17 + i) % 101}"
+                          for j in range(220))
+        mid = len(filler) // 2
+        ins = " " + span + " " if spanful else " "
+        rows.append({"url": f"u{name}", "text": filler[:mid] + ins
+                     + filler[mid:]})
+    pages = pa.Table.from_pylist(rows)
+    cfg = PipelineConfig(num_partitions=2)
+    res = run_dedup(rd.from_arrow(pages), cfg)
+    spans = res.span_edges.to_pandas()
+    assert set(zip(spans.url_a, spans.url_b)) == {("ua", "ub")}
+    assert (spans.span_len >= cfg.min_shared_span).all()
+    # and the docs must NOT be merged into one component (span edges are
+    # reported, not clustered: full-doc Jaccard is ~0)
+    labels = res.labels.to_pandas()
+    assert labels["component"].nunique() == 4
+
+
 def test_duplicate_free_corpus_all_singletons():
     """A corpus with ZERO duplicate pairs must flow through the default
     driver-CC label path (n_edges=0 <= cc_driver_max_edges) and label
