@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["ending_extract"] = augment.q_ending_extract
     qs["acronyms"] = augment.q_acronyms
 
+    # temporal joins/windows over events (as-of join, interval join,
+    # session windows, sliding windows; all oracle-paired)
+    from eridu_ray.pipelines.temporal import TEMPORAL_QUERIES
+
+    qs.update(TEMPORAL_QUERIES)
+
     # T6: standalone corpus->embedding encoder stage (rows-only: stub
     # embedding values are engine-defined, not SQL-expressible)
     from eridu_ray.stages.scorer import encode_documents
@@ -139,7 +145,8 @@ def oracle_sql() -> dict[str, str]:
     weaker rows-only check.
     """
     from eridu_ray.pipelines.relational import ORACLE_SQL
+    from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return {**ORACLE_SQL, **CSV_SQL, **AUG_SQL}
+    return {**ORACLE_SQL, **TEMP_SQL, **CSV_SQL, **AUG_SQL}

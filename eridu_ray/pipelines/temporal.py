@@ -1,0 +1,351 @@
+"""Temporal join / window operators over the events table.
+
+The reference's pipelines are batch-relational; a web-scale training-data
+engine additionally needs the temporal operators Ray Data has no built-in
+for — as-of join, range (interval) join, session windows, sliding
+windows.  Each is expressed Ray-Data-first:
+
+- **Co-location, not cross-product.**  Ray Data's ``Dataset.join`` is an
+  equality join that explodes every matching row pair; the temporal ops
+  below instead hash-partition both sides on the entity key
+  (``pid = splitmix64(user_id) % P`` — the same explicit-shuffle pattern
+  as ``stages/candidates.add_pid``), union the tagged sides, and run ONE
+  ``groupby("pid").map_groups`` so each partition holds everything it
+  needs.  Equal key → equal pid, so results are partition-local and the
+  only all-to-all is the single pid shuffle.
+- **Vectorized group kernels.**  Inside a partition, each kernel sorts
+  once and resolves every row with ``np.searchsorted`` over a composite
+  ``(user_rank << 32) | ts_rank`` int64 key — no per-row Python, no
+  per-user slicing.  Ranks (dense indices into the partition's unique
+  users / unique timestamps) keep the composite collision-free without
+  timestamp-magnitude assumptions.
+- **Scale.**  P partitions bound the map_groups width; per-partition work
+  is O(n log n) in partition rows.  Skew = one hot user lands one hot
+  pid; as-of/session kernels stay linear in that user's rows, and the
+  range join's output is bounded by the window width (documented
+  partitioning assumption: one user's rows fit in one partition's
+  memory — the same assumption any per-entity sequence op makes).
+
+Window constants are chosen for the testdata's event density (~66
+events/user over one month): 4 h session gap, 6 h interval-join window,
+1 h sliding windows every 15 min.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from eridu_ray.kernels.hashing import splitmix64
+
+_US = np.int64(1)                      # timestamps handled as int64 us
+MIN_15 = np.int64(15 * 60 * 1_000_000)
+HOUR_US = np.int64(3_600_000_000)
+SESSION_GAP_US = np.int64(4) * HOUR_US
+RANGE_WINDOW_US = np.int64(6) * HOUR_US
+NUM_PID = 8
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds (zero-copy view)."""
+    return col.to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").view(np.int64)
+
+
+def _i64_ts(us: np.ndarray) -> pa.Array:
+    return pa.array(us.astype(np.int64)).cast(pa.timestamp("us"))
+
+
+def _pid_of(uid: np.ndarray, num_pid: int) -> pa.Array:
+    pid = (splitmix64(uid.astype(np.uint64))
+           % np.uint64(num_pid)).astype(np.int32)
+    return pa.array(pid)
+
+
+def _composite(uid: np.ndarray, ts_rank: np.ndarray,
+               users: np.ndarray) -> np.ndarray:
+    """(user_rank << 32) | ts_rank — a collision-free sortable int64 key.
+
+    ``users`` is the partition's sorted unique user array; both ranks are
+    dense partition-local indices, so each is < 2^32 long before a
+    partition would overflow memory anyway.
+    """
+    ur = np.searchsorted(users, uid).astype(np.int64)
+    return (ur << 32) | ts_rank.astype(np.int64)
+
+
+# --- as-of join -------------------------------------------------------------
+
+def q_asof_join(sf_dir):
+    """As-of join: for each 'purchase' event, the latest strictly-prior
+    'click' event by the same user (ties on ts broken by max event_id).
+
+    Both sides are the events table; pid = hash(user) co-locates them,
+    and the per-partition kernel resolves every purchase with one
+    searchsorted over the partition's clicks sorted by
+    ((user_rank << 32) | ts_rank, event_id).  Inner semantics: purchases
+    with no prior click are dropped (matches the oracle's QUALIFY form).
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        b = b.filter(keep)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pid": _pid_of(uid, NUM_PID),
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "event_id": b["event_id"],
+            "is_purchase": pc.equal(b["event_type"], "purchase"),
+        })
+
+    def asof(g: pa.Table) -> pa.Table:
+        isq = g["is_purchase"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = _ts_i64(g["ts"])
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        qm, rm = isq, ~isq
+        if not qm.any() or not rm.any():
+            return pa.table({"purchase_id": pa.array([], pa.int64()),
+                             "click_id": pa.array([], pa.int64()),
+                             "click_ts": pa.array([], pa.timestamp("us"))})
+        users = np.unique(uid)
+        uniq_ts = np.unique(ts[rm])
+        # clicks sorted by (composite, event_id): the LAST entry below a
+        # purchase's cutoff is the latest ts, max event_id among ties
+        ck = _composite(uid[rm], np.searchsorted(uniq_ts, ts[rm]), users)
+        c_eid, c_ts = eid[rm], ts[rm]
+        order = np.lexsort((c_eid, ck))
+        ck, c_eid, c_ts = ck[order], c_eid[order], c_ts[order]
+        c_user_rank = ck >> 32
+        # purchase cutoff: clicks with ts_rank < #(uniq_ts < purchase ts)
+        qcut = _composite(
+            uid[qm], np.searchsorted(uniq_ts, ts[qm], side="left"), users)
+        pos = np.searchsorted(ck, qcut, side="left") - 1
+        ok = (pos >= 0) & (c_user_rank[np.maximum(pos, 0)] == (qcut >> 32))
+        pos = pos[ok]
+        return pa.table({
+            "purchase_id": pa.array(eid[qm][ok], pa.int64()),
+            "click_id": pa.array(c_eid[pos], pa.int64()),
+            "click_ts": _i64_ts(c_ts[pos]),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(asof, batch_format="pyarrow"))
+
+
+# --- range (interval) join --------------------------------------------------
+
+def q_range_join(sf_dir):
+    """Range join: event pairs (a, b) of the SAME user with
+    a.ts < b.ts <= a.ts + 6 h — a per-entity interval self-join.
+
+    Per partition: one sort by ((user_rank << 32) | ts_rank, event_id),
+    two vectorized searchsorteds give each row's follower window
+    [lo, hi), and the pair expansion is the repeat+arange trick (no
+    per-row loop).  Output volume is bounded by the window width.
+    """
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"pid": _pid_of(uid, NUM_PID),
+                         "user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"]})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = _ts_i64(g["ts"])
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        users = np.unique(uid)
+        uniq_ts = np.unique(ts)
+        key = _composite(uid, np.searchsorted(uniq_ts, ts), users)
+        order = np.lexsort((eid, key))
+        key, ts_s, eid_s = key[order], ts[order], eid[order]
+        urank = key >> 32
+        # follower window: ts_b > ts_a  AND  ts_b <= ts_a + W, same user
+        lo = np.searchsorted(
+            key, (urank << 32)
+            | np.searchsorted(uniq_ts, ts_s, side="right"), side="left")
+        hi = np.searchsorted(
+            key, (urank << 32)
+            | np.searchsorted(uniq_ts, ts_s + RANGE_WINDOW_US,
+                              side="right"), side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"event_id_a": pa.array([], pa.int64()),
+                             "event_id_b": pa.array([], pa.int64())})
+        ii = np.repeat(np.arange(key.size), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        jj = np.repeat(lo, counts) + offs
+        return pa.table({"event_id_a": pa.array(eid_s[ii], pa.int64()),
+                         "event_id_b": pa.array(eid_s[jj], pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(pairs, batch_format="pyarrow"))
+
+
+# --- session windows ---------------------------------------------------------
+
+def q_session_windows(sf_dir):
+    """Session windows: per user, sessions split at ts gaps > 4 h;
+    per (user, session) emit count, integer-cents sum, start/end ts.
+    Session numbers are 1-based in time order (ties on ts are
+    session-invariant: a zero gap never breaks).
+
+    Per partition: one sort by (user, ts, event_id), vectorized
+    break detection (new user | gap > threshold), cumsum session ids,
+    np.add.reduceat aggregation over session runs — partial IS final
+    because the pid shuffle co-located each user.
+    """
+    from ray.data.block import BlockAccessor  # noqa: F401  (doc anchor)
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(b["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"pid": _pid_of(uid, NUM_PID),
+                         "user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"],
+                         "cents": pa.array(cents)})
+
+    def sessions(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = _ts_i64(g["ts"])
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        n = uid.size
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (
+                ts[1:] - ts[:-1] > SESSION_GAP_US)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        # 1-based session number per user: global run index minus the
+        # user's first run index
+        run_user = uid[starts]
+        new_user = np.ones(starts.size, dtype=bool)
+        new_user[1:] = run_user[1:] != run_user[:-1]
+        run_idx = np.arange(starts.size)
+        base = np.repeat(run_idx[new_user],
+                         np.diff(np.append(np.flatnonzero(new_user),
+                                           starts.size)))
+        sess_no = run_idx - base + 1
+        sums = np.add.reduceat(cents, starts)
+        return pa.table({
+            "user_id": pa.array(run_user, pa.int64()),
+            "session": pa.array(sess_no, pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "sum_cents": pa.array(sums, pa.int64()),
+            "start_ts": _i64_ts(ts[starts]),
+            "end_ts": _i64_ts(ts[ends - 1]),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(sessions, batch_format="pyarrow"))
+
+
+# --- sliding windows ---------------------------------------------------------
+
+def q_sliding_window(sf_dir):
+    """Sliding window aggregate: 1 h windows every 15 min per event_type
+    (each event lands in exactly 4 windows).  Expressed as a vectorized
+    1→4 window-key explode inside map_batches followed by a standard
+    groupby aggregate — the explode is embarrassingly parallel and the
+    only shuffle is the final small (type × window) aggregation.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+    n_off = int(HOUR_US // MIN_15)           # 4 offsets
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = _ts_i64(b["ts"])
+        b15 = (us // MIN_15) * MIN_15
+        offs = (np.arange(n_off, dtype=np.int64) * MIN_15)[:, None]
+        wins = (b15[None, :] - offs).reshape(-1)
+        cents = np.rint(b["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        types = pa.chunked_array([pc.cast(b["event_type"], pa.string())]
+                                 * n_off).combine_chunks()
+        return pa.table({"event_type": types,
+                         "win": _i64_ts(wins),
+                         "cents": pa.array(np.tile(cents, n_off))})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["event_type", "win"])
+            .aggregate(Count(), Sum("cents"))
+            .rename_columns({"count()": "n", "sum(cents)": "sum_cents"}))
+
+
+# --- registry ----------------------------------------------------------------
+
+TEMPORAL_QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "session_windows": q_session_windows,
+    "sliding_window": q_sliding_window,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "asof_join": (
+        "WITH j AS ("
+        "  SELECT p.event_id AS purchase_id, c.event_id AS click_id,"
+        "         c.ts AS click_ts,"
+        "         row_number() OVER (PARTITION BY p.event_id"
+        "           ORDER BY c.ts DESC, c.event_id DESC) AS rn"
+        "  FROM events p JOIN events c"
+        "    ON c.user_id = p.user_id AND c.event_type = 'click'"
+        "   AND c.ts < p.ts"
+        "  WHERE p.event_type = 'purchase')"
+        " SELECT purchase_id, click_id, click_ts FROM j WHERE rn = 1"),
+    "range_join": (
+        "SELECT a.event_id AS event_id_a, b.event_id AS event_id_b"
+        " FROM events a JOIN events b ON a.user_id = b.user_id"
+        "  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR"),
+    "session_windows": (
+        "WITH g AS ("
+        "  SELECT user_id, ts, value,"
+        "    CASE WHEN lag(ts) OVER w IS NULL"
+        "          OR ts - lag(ts) OVER w > INTERVAL 4 HOUR"
+        "         THEN 1 ELSE 0 END AS brk"
+        "  FROM events WINDOW w AS (PARTITION BY user_id"
+        "                           ORDER BY ts, event_id)),"
+        " s AS ("
+        "  SELECT user_id, ts, value,"
+        "    sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        "                   ROWS UNBOUNDED PRECEDING) AS session"
+        "  FROM g)"
+        " SELECT user_id, session::BIGINT AS session, count(*) AS n,"
+        "  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,"
+        "  min(ts) AS start_ts, max(ts) AS end_ts"
+        " FROM s GROUP BY user_id, session"),
+    "sliding_window": (
+        "WITH offs AS (SELECT k FROM range(4) t(k)),"
+        " e AS ("
+        "  SELECT event_type,"
+        "    make_timestamp((epoch_us(ts) // 900000000 - k)"
+        "                   * 900000000) AS win,"
+        "    CAST(round(value * 100) AS BIGINT) AS c"
+        "  FROM events CROSS JOIN offs)"
+        " SELECT event_type, win, count(*) AS n, sum(c)::BIGINT"
+        "  AS sum_cents FROM e GROUP BY event_type, win"),
+}
