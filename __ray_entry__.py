@@ -103,6 +103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ["thumb"])
     qs["multimodal_frames"] = mm.sample_frames
 
+    # REAL decodes: pure-numpy BMP / PCM-WAV parsers over deterministic
+    # synthesized payloads (rows-only; round-trip + golden-value tests in
+    # tests/test_multimodal.py)
+    qs["multimodal_decode_bmp"] = lambda sf: mm.decode_bmp_images(
+        sf).drop_columns(["thumb"])
+    qs["multimodal_audio"] = lambda sf: mm.decode_audio(sf).drop_columns(
+        ["envelope"])
+
     # entity-aware split over flagship components (D7/M16; rows-only —
     # leakage invariant asserted in tests/test_evaluate.py)
     def _component_split(sf_dir: str):

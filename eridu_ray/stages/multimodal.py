@@ -3,12 +3,18 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 actor-pool ``map_batches`` stages (codec state loaded once per actor).
-The image/audio libraries are NOT in this environment, so the decode step
-is stubbed: ``decoder="fake"`` produces deterministic pseudo-decodes
-(seeded from the payload hash) with the real schema, batch shapes and
-actor lifecycle; ``decoder="pil"``/``"ffmpeg"`` raise NotImplementedError
-with the dependency named, so the Ray-side plumbing is real and tested
-while the codec is a drop-in.
+
+Decode tiers:
+- ``decoder="bmp"`` and :class:`AudioDecoder` are REAL decodes —
+  pure-numpy parsers for uncompressed containers (kernels/codecs.py:
+  BI_RGB 24/32-bit BMP, PCM 16-bit WAV) with real resize (integral-image
+  box-average thumbnail) and feature extraction (RMS band envelope);
+- ``decoder="fake"`` produces deterministic pseudo-decodes (seeded from
+  the payload hash) with the real schema/batch shapes, for plumbing
+  tests;
+- ``decoder="pil"``/``"ffmpeg"`` (compressed formats) raise
+  NotImplementedError naming the absent dependency — those libraries are
+  not in this environment, so the codec stays a drop-in.
 """
 
 from __future__ import annotations
@@ -42,12 +48,22 @@ class ImageDecoder:
         self.seed = seed
         if decoder == "fake":
             self._decode = self._decode_fake
+        elif decoder == "bmp":
+            self._decode = self._decode_bmp
         elif decoder == "pil":  # pragma: no cover - not in this container
             raise NotImplementedError(
                 "PIL/pillow is not installed in this environment; "
-                "use decoder='fake' or install pillow")
+                "use decoder='bmp' for uncompressed BMP, decoder='fake' "
+                "for plumbing tests, or install pillow")
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _decode_bmp(self, payload: bytes):
+        from eridu_ray.kernels.codecs import decode_bmp, thumbnail_gray
+
+        px = decode_bmp(payload)
+        return (px.shape[1], px.shape[0], px.shape[2],
+                thumbnail_gray(px, self.THUMB))
 
     def _decode_fake(self, payload: bytes):
         h = hash_bytes_u64(payload, seed=self.seed)
@@ -76,6 +92,46 @@ class ImageDecoder:
             "channels": pa.array(cs),
             "thumb": pa.FixedSizeListArray.from_arrays(
                 pa.array(thumbs.reshape(-1)), self.THUMB * self.THUMB),
+        })
+
+
+class AudioDecoder:
+    """Actor-pool stage: PCM WAV payload -> decoded metadata + features.
+
+    REAL decode (kernels/codecs.decode_wav) + feature extraction
+    (duration, RMS, fixed-size band envelope).  rms is emitted as exact
+    integer micro-units so downstream comparisons are engine-stable.
+    """
+
+    BANDS = 16
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from eridu_ray.kernels.codecs import decode_wav, wav_features
+
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        rates = np.empty(n, np.int32)
+        chans = np.empty(n, np.int32)
+        durs = np.empty(n, np.int64)
+        rms = np.empty(n, np.int64)
+        envs = np.empty((n, self.BANDS), np.float32)
+        for i, p in enumerate(payloads):
+            rate, samples = decode_wav(p or b"")
+            d, r, e = wav_features(rate, samples, bands=self.BANDS)
+            rates[i], chans[i] = rate, samples.shape[1]
+            durs[i], rms[i] = d, int(round(r * 1_000_000))
+            envs[i] = e
+        return pa.table({
+            "payload_id": batch["payload_id"],
+            "sample_rate": pa.array(rates),
+            "channels": pa.array(chans),
+            "duration_ms": pa.array(durs),
+            "rms_micro": pa.array(rms),
+            "envelope": pa.FixedSizeListArray.from_arrays(
+                pa.array(envs.reshape(-1)), self.BANDS),
         })
 
 
@@ -125,11 +181,65 @@ def documents_as_payloads(sf_dir: str):
     return ds.map_batches(to_payload, batch_format="pyarrow")
 
 
+def synthesize_media_payloads(sf_dir: str, kind: str):
+    """Deterministic REAL media payloads derived from the documents table
+    (no external data): per doc, a valid uncompressed BMP or PCM WAV
+    whose content is a splitmix64 stream seeded by the doc text hash —
+    so the decode stages exercise the real parsers on real bytes and
+    every value downstream is reproducible."""
+    import ray.data as rd
+
+    from eridu_ray.kernels.codecs import encode_bmp, encode_wav
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            h = hash_bytes_u64((text or "").encode(), seed=7)
+            rng = np.random.default_rng([7, h & 0x7FFFFFFF])
+            if kind == "bmp":
+                w = 16 + int(h % 33)          # 16..48, exercises stride pad
+                hh = 16 + int((h >> 8) % 33)
+                px = rng.integers(0, 256, size=(hh, w, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(px))
+            else:
+                n = 800 + int(h % 1600)       # 0.1..0.3 s at 8 kHz
+                ch = 1 + int((h >> 16) % 2)
+                s = (rng.standard_normal((n, ch)) * 3000).astype(np.int16)
+                payloads.append(encode_wav(s, sample_rate=8000))
+            ids.append(str(did))
+        return pa.table({"payload_id": pa.array(ids, pa.string()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
 def decode_images(sf_dir: str, concurrency=(1, 4), batch_size: int = 256):
     """Actor-pool decode over the payload dataset (queries() entry)."""
     return documents_as_payloads(sf_dir).map_batches(
         ImageDecoder, fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_bmp_images(sf_dir: str, concurrency=(1, 4),
+                      batch_size: int = 256):
+    """REAL image decode: synthesized BMP payloads through the numpy BMP
+    parser + integral-image thumbnail (queries() entry)."""
+    return synthesize_media_payloads(sf_dir, "bmp").map_batches(
+        ImageDecoder, fn_constructor_kwargs={"decoder": "bmp"},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_audio(sf_dir: str, concurrency=(1, 4), batch_size: int = 256):
+    """REAL audio decode: synthesized PCM WAV payloads through the numpy
+    WAV parser + RMS band-envelope features (queries() entry)."""
+    return synthesize_media_payloads(sf_dir, "wav").map_batches(
+        AudioDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
 
