@@ -1,0 +1,337 @@
+"""Command-line surface for the eridu_ray engine.
+
+Mirrors the reference's click CLI shape (eridu/cli/main.py:82-660:
+``download`` / ``etl report`` / ``compare`` / ``evaluate test`` /
+``evaluate checks`` command groups, ordered help) re-expressed over the
+Ray-Data pipelines in this repo.  The sandbox has no network, so the
+reference's ``download`` becomes ``ingest`` (local gz-CSV -> Parquet,
+same conversion step as eridu/cli/main.py:134-147) and model-bearing
+commands fall back to the deterministic hashed encoder when
+sentence-transformers is absent.
+
+The CLI owns its Ray session (the library never calls ray.init):
+each command initializes a local session lazily and shuts it down on
+exit so consecutive invocations start clean.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import OrderedDict
+
+import click
+
+
+class _RaySession:
+    """Lazy local Ray session: inits only if none exists, and shuts down
+    only a session it created (an in-process caller — e.g. the test
+    suite's session fixture — keeps its own session)."""
+
+    def __init__(self, num_cpus: int | None = None):
+        import ray
+
+        self._ray = ray
+        self._owned = not ray.is_initialized()
+        if self._owned:
+            kwargs = {"address": "local", "include_dashboard": False,
+                      "ignore_reinit_error": True}
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(**kwargs)
+
+    def shutdown(self) -> None:
+        if self._owned:
+            self._ray.shutdown()
+
+
+def _ray_session(num_cpus: int | None = None) -> _RaySession:
+    return _RaySession(num_cpus)
+
+
+class OrderedGroup(click.Group):
+    """Click group that lists commands in registration order
+    (reference: eridu/cli/main.py:70-79)."""
+
+    def __init__(self, name=None, commands=None, **attrs):
+        super().__init__(name, commands, **attrs)
+        self.commands = OrderedDict(self.commands)
+
+    def list_commands(self, ctx):
+        return list(self.commands)
+
+
+@click.group(cls=OrderedGroup, context_settings={"show_default": True})
+def cli() -> None:
+    """eridu_ray: Ray-Data-native web-scale dedup + entity-pair engine."""
+
+
+# --------------------------------------------------------------------------
+# ingest (reference `download`'s local conversion step)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--csv-path", required=True,
+              help="Path to a gzipped CSV file to ingest")
+@click.option("--output-dir", default="./data",
+              help="Directory to write the Parquet conversion into")
+@click.option("--num-cpus", default=0, type=int,
+              help="Ray CPUs (0 = Ray default)")
+def ingest(csv_path: str, output_dir: str, num_cpus: int) -> None:
+    """Convert a gzipped CSV into Parquet (distributed read -> write)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.sources.csv_io import gzip_csv_to_parquet
+
+        os.makedirs(output_dir, exist_ok=True)
+        out = gzip_csv_to_parquet(csv_path, output_dir)
+        click.echo(f"wrote {out}")
+        click.echo("to generate a report on this data, run:")
+        click.echo(f"  python -m eridu_ray report --parquet-path {out}")
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# report (reference `etl report`: eridu/etl/report.py:145)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--parquet-path", required=True,
+              help="Parquet file/dir to report on")
+@click.option("--top-k", default=10, type=int,
+              help="Rows per value-count listing")
+@click.option("--num-cpus", default=0, type=int)
+def report(parquet_path: str, top_k: int, num_cpus: int) -> None:
+    """Summary report: row count, schema, null counts, top value counts
+    per low-cardinality column (reference report.py's count/groupby set)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        import pyarrow as pa
+        import ray.data as rd
+
+        ds = rd.read_parquet(parquet_path)
+        schema = ds.schema()
+        n = ds.count()
+        click.echo(f"rows: {n}")
+        click.echo("schema:")
+        for name, typ in zip(schema.names, schema.types):
+            click.echo(f"  {name}: {typ}")
+        # nulls + value counts for string/int columns, all as Dataset aggs
+        for name, typ in zip(schema.names, schema.types):
+            if not (pa.types.is_string(typ) or pa.types.is_integer(typ)):
+                continue
+            vc = (ds.select_columns([name]).groupby(name).count()
+                  .sort("count()", descending=True).limit(top_k).take_all())
+            click.echo(f"top values of {name}:")
+            for r in vc:
+                click.echo(f"  {r[name]!r}: {r['count()']}")
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# synth (fixture generation; engine-specific)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--sf-dir", default="/root/testdata/sf0.001",
+              help="Driver testdata dir holding documents.parquet")
+@click.option("--out-dir", default="/tmp/eridu_ray_corpus",
+              help="Directory to materialize the synthetic corpus under")
+@click.option("--repeat", default=1, type=int,
+              help="Corpus replication factor (disjoint doc_id ranges)")
+@click.option("--fatten", default=0, type=int,
+              help="Filler multiple per doc (payload bytes, no new pairs)")
+@click.option("--num-cpus", default=0, type=int)
+def synth(sf_dir: str, out_dir: str, repeat: int, fatten: int,
+          num_cpus: int) -> None:
+    """Materialize the deterministic synthetic web-pages corpus."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.config import PipelineConfig
+        from eridu_ray.sources.synth import (synthesize_corpus,
+                                             synthesize_pages_ray)
+
+        cfg = PipelineConfig()
+        if repeat > 1 or fatten > 0:
+            info = synthesize_pages_ray(sf_dir, out_dir, cfg,
+                                        repeat=repeat, fatten=fatten)
+        else:
+            info = synthesize_corpus(sf_dir, out_dir, cfg)
+        click.echo(json.dumps(info, indent=2))
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# dedup (the flagship; reference's core clustering workflow Clusters.md)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--input", "input_path", required=True,
+              help="Pages Parquet (url/warc_ts/html/text/lang columns)")
+@click.option("--output", "output_dir", required=True,
+              help="Directory for the component-labels Parquet")
+@click.option("--checkpoint-dir", default=None,
+              help="Stage-checkpoint dir (resume on rerun)")
+@click.option("--scorer/--no-scorer", default=True,
+              help="Borderline scorer edges in the flagship edge set")
+@click.option("--dup-jaccard", default=0.80, type=float,
+              help="Exact-Jaccard duplicate threshold")
+@click.option("--num-cpus", default=0, type=int)
+def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
+          scorer: bool, dup_jaccard: float, num_cpus: int) -> None:
+    """Run the near-duplicate detection + clustering pipeline and write
+    (url, component, component_size) labels as partitioned Parquet."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        import ray.data as rd
+
+        from eridu_ray.config import PipelineConfig
+        from eridu_ray.pipelines.dedup import run_dedup
+
+        cfg = PipelineConfig(dup_jaccard=dup_jaccard,
+                             use_scorer_edges=scorer,
+                             checkpoint_dir=checkpoint_dir)
+        pages = rd.read_parquet(input_path)
+        res = run_dedup(pages, cfg)
+        os.makedirs(output_dir, exist_ok=True)
+        res.labels.write_parquet(output_dir)
+        n = res.labels.count()
+        click.echo(json.dumps({"labels_rows": n,
+                               "counters": res.counters,
+                               "output": output_dir}))
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# compare (reference `compare`: eridu/cli/main.py:514-561)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.argument("text1", type=str)
+@click.argument("text2", type=str)
+@click.option("--model-path", default=None,
+              help="SentenceTransformer dir (falls back to hashed stub)")
+@click.option("--threshold", default=0.90, type=float,
+              help="Similarity >= threshold => match")
+def compare(text1: str, text2: str, model_path: str | None,
+            threshold: float) -> None:
+    """Score two texts with the pair scorer; prints the similarity
+    (reference prints cosine-derived score to 3 decimals, main.py:552-560).
+
+    Driver-side (no Ray session needed for one pair)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.kernels.shingle import shingle_set32
+    from eridu_ray.kernels.text import normalize_text
+    from eridu_ray.stages.scorer import PairScorer
+
+    cfg = PipelineConfig()
+    scorer = PairScorer(cfg, use_sbert=model_path is not None,
+                        model_path=model_path)
+    sh = [shingle_set32(normalize_text(t), cfg.shingle_k, cfg.seed)
+          .astype("<u4").tobytes() for t in (text1, text2)]
+    batch = pa.table({
+        "text_a": [text1], "text_b": [text2],
+        "sh_a": pa.array([sh[0]], pa.binary()),
+        "sh_b": pa.array([sh[1]], pa.binary()),
+    })
+    sim = float(scorer(batch)["similarity"][0].as_py())
+    click.echo(f"{sim:.3f}")
+    click.echo(f"match: {sim >= threshold}")
+
+
+# --------------------------------------------------------------------------
+# evaluate group (reference `evaluate test` / `evaluate checks`)
+# --------------------------------------------------------------------------
+@cli.group(cls=OrderedGroup, context_settings={"show_default": True})
+def evaluate() -> None:
+    """Evaluate scored pairs or the checks conformance corpus."""
+
+
+@evaluate.command(name="test", context_settings={"show_default": True})
+@click.option("--scored-path", required=True,
+              help="Parquet of scored pairs (similarity + label columns)")
+@click.option("--threshold", default=None, type=float,
+              help="Classification threshold (default: F1-optimal sweep)")
+@click.option("--score-col", default="similarity")
+@click.option("--label-col", default="label")
+@click.option("--num-cpus", default=0, type=int)
+def evaluate_test(scored_path: str, threshold: float | None,
+                  score_col: str, label_col: str, num_cpus: int) -> None:
+    """Accuracy/P/R/F1 report over a scored-pairs Parquet
+    (reference: eridu/cli/main.py:568-608)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        import ray.data as rd
+
+        from eridu_ray.stages.evaluate import (best_threshold,
+                                               classification_metrics,
+                                               confusion_counts)
+
+        ds = rd.read_parquet(scored_path)
+        if threshold is None:
+            best = best_threshold(ds, score_col=score_col,
+                                  label_col=label_col)
+            threshold = best["threshold"]
+            click.echo(f"optimal threshold: {threshold:.4f} "
+                       f"(f1={best['f1']:.4f})")
+        counts = confusion_counts(ds, threshold, score_col=score_col,
+                                  label_col=label_col)
+        click.echo(json.dumps(classification_metrics(counts)))
+    finally:
+        ray.shutdown()
+
+
+@evaluate.command(name="checks", context_settings={"show_default": True})
+@click.option("--schema", "schemas", multiple=True,
+              help="Schema filter (repeatable); default: all schemas")
+@click.option("--per-schema/--no-per-schema", default=True,
+              help="Break metrics out per schema category")
+def evaluate_checks_cmd(schemas: tuple, per_schema: bool) -> None:
+    """Checks-corpus conformance report (reference `evaluate checks`,
+    eridu/etl/checks_evaluation.py).  Driver-side — the corpus is small."""
+    from eridu_ray.pipelines.checks import (checks_metrics,
+                                            checks_metrics_by_schema,
+                                            evaluate_checks)
+
+    results = evaluate_checks(schemas=set(schemas) or None)
+    out = {"overall": checks_metrics(results)}
+    if per_schema:
+        out["per_schema"] = checks_metrics_by_schema(results)
+    click.echo(json.dumps(out, indent=2))
+
+
+# --------------------------------------------------------------------------
+# encode (T6 corpus embedding stage as a batch job)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--sf-dir", default="/root/testdata/sf0.001",
+              help="Testdata dir holding documents.parquet")
+@click.option("--out-dir", required=True,
+              help="Directory for the embeddings Parquet")
+@click.option("--dim", default=256, type=int)
+@click.option("--num-cpus", default=0, type=int)
+def encode(sf_dir: str, out_dir: str, dim: int, num_cpus: int) -> None:
+    """Encode the documents table into unit-norm embeddings
+    (actor-pool DocEncoder; ANN-compatible layout)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.stages.scorer import encode_documents
+
+        ds = encode_documents(sf_dir, dim=dim)
+        os.makedirs(out_dir, exist_ok=True)
+        ds.write_parquet(out_dir)
+        click.echo(json.dumps({"rows": ds.count(), "dim": dim,
+                               "output": out_dir}))
+    finally:
+        ray.shutdown()
+
+
+def main() -> None:
+    cli(prog_name="eridu_ray")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""CLI surface tests (reference CLI shape: eridu/cli/main.py:82-660).
+
+Driver-side commands run through click's CliRunner in-process; the
+Ray-owning commands reuse the session fixture's Ray (the CLI only shuts
+down sessions it created)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from click.testing import CliRunner
+
+from eridu_ray.cli import cli
+
+
+def _last_json(output: str):
+    """Parse the last JSON object in CLI output (Ray Data's dataset logger
+    interleaves INFO lines into captured stdout)."""
+    lines = [ln for ln in output.strip().splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1])
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return CliRunner()
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    """Small pages parquet for the dedup CLI (100 docs of sf0.001)."""
+    from eridu_ray.sources.synth import expand_documents_batch
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet").slice(0, 100)
+    pages = expand_documents_batch(docs, seed=31337)
+    p = str(tmp_path_factory.mktemp("cli_corpus") / "pages.parquet")
+    pq.write_table(pages, p)
+    return {"pages": p, "n_pages": pages.num_rows}
+
+
+def test_help_lists_commands_in_order(runner):
+    res = runner.invoke(cli, ["--help"])
+    assert res.exit_code == 0
+    cmds = res.output.split("Commands:", 1)[1]
+    pos = [cmds.index("\n  " + c) for c in
+           ("ingest", "report", "synth", "dedup", "compare",
+            "evaluate", "encode")]
+    assert pos == sorted(pos)  # OrderedGroup preserves registration order
+
+
+def test_compare_scores_pair(runner):
+    res = runner.invoke(cli, ["compare",
+                              "the quick brown fox jumps over the lazy dog",
+                              "the quick brown fox jumped over the lazy dog"])
+    assert res.exit_code == 0
+    sim = float(res.output.splitlines()[0])
+    assert 0.0 <= sim <= 1.0 and sim > 0.8
+    assert "match: True" in res.output
+    # disjoint texts score low
+    res2 = runner.invoke(cli, ["compare", "alpha beta gamma delta epsilon",
+                               "zxcv qwer asdf uiop hjkl"])
+    assert float(res2.output.splitlines()[0]) < 0.8
+
+
+def test_evaluate_checks_overall_and_per_schema(runner):
+    res = runner.invoke(cli, ["evaluate", "checks"])
+    assert res.exit_code == 0
+    out = json.loads(res.output)
+    assert out["overall"]["accuracy"] == 1.0
+    assert len(out["per_schema"]) >= 4  # Page/Snippet/Unicode/Paragraph/...
+    res2 = runner.invoke(cli, ["evaluate", "checks", "--schema", "Page"])
+    assert set(json.loads(res2.output)["per_schema"]) == {"Page"}
+
+
+def test_ingest_report_roundtrip(runner, ray_session, tmp_path):
+    gz = str(tmp_path / "fix.csv.gz")
+    from eridu_ray.sources.csv_io import write_gzip_csv_fixture
+
+    write_gzip_csv_fixture(
+        pa.table({"k": [1, 2, 2, 3], "v": ["a", "b", "b", "c"]}), gz)
+    out = str(tmp_path / "pq")
+    res = runner.invoke(cli, ["ingest", "--csv-path", gz,
+                              "--output-dir", out])
+    assert res.exit_code == 0, res.output
+    assert pq.read_table(out).num_rows == 4
+    rep = runner.invoke(cli, ["report", "--parquet-path", out])
+    assert rep.exit_code == 0, rep.output
+    assert "rows: 4" in rep.output and "'b': 2" in rep.output
+
+
+def test_evaluate_test_reports_metrics(runner, ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    n = 400
+    y = rng.random(n) < 0.5
+    s = np.where(y, rng.normal(0.85, 0.05, n),
+                 rng.normal(0.2, 0.05, n)).clip(0, 1)
+    p = str(tmp_path / "scored.parquet")
+    pq.write_table(pa.table({"similarity": s, "label": y.astype(int)}), p)
+    res = runner.invoke(cli, ["evaluate", "test", "--scored-path", p])
+    assert res.exit_code == 0, res.output
+    metrics = _last_json(res.output)
+    assert metrics["f1"] > 0.99  # well-separated fixture
+    # explicit threshold path
+    res2 = runner.invoke(cli, ["evaluate", "test", "--scored-path", p,
+                               "--threshold", "0.5"])
+    assert _last_json(res2.output)["accuracy"] > 0.99
+
+
+def test_dedup_cli_end_to_end(runner, ray_session, tmp_path, small_corpus):
+    out = str(tmp_path / "labels")
+    res = runner.invoke(cli, ["dedup", "--input", small_corpus["pages"],
+                              "--output", out])
+    assert res.exit_code == 0, res.output
+    info = _last_json(res.output)
+    labels = pq.read_table(out)
+    assert labels.num_rows == info["labels_rows"] > 0
+    assert {"url", "component", "component_size"} <= set(
+        labels.column_names)
+
+
+def test_encode_cli(runner, ray_session, tmp_path):
+    out = str(tmp_path / "emb")
+    res = runner.invoke(cli, ["encode", "--sf-dir", "/root/testdata/sf0.001",
+                              "--out-dir", out, "--dim", "64"])
+    assert res.exit_code == 0, res.output
+    t = pq.read_table(out)
+    assert t.num_rows == _last_json(res.output)["rows"] > 0
+    emb = np.asarray(t["embedding"].to_pylist())
+    assert emb.shape[1] == 64
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_cli_does_not_kill_foreign_ray_session(runner, ray_session):
+    """The CLI must not shut down a Ray session it didn't create."""
+    import ray
+
+    assert ray.is_initialized()
+    runner.invoke(cli, ["report", "--parquet-path",
+                        "/root/testdata/sf0.001/region.parquet"])
+    assert ray.is_initialized()
