@@ -70,6 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs.update(TEMPORAL_QUERIES)
 
+    # corpus text statistics (vocab/bigram top-k via partial combine,
+    # broadcast-DF rarest term, RE2 redaction; all oracle-paired)
+    from eridu_ray.pipelines.textstats import TEXTSTATS_QUERIES
+
+    qs.update(TEXTSTATS_QUERIES)
+
     # T6: standalone corpus->embedding encoder stage (rows-only: stub
     # embedding values are engine-defined, not SQL-expressible)
     from eridu_ray.stages.scorer import encode_documents
@@ -154,7 +160,8 @@ def oracle_sql() -> dict[str, str]:
     """
     from eridu_ray.pipelines.relational import ORACLE_SQL
     from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
+    from eridu_ray.pipelines.textstats import ORACLE_SQL as TEXT_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return {**ORACLE_SQL, **TEMP_SQL, **CSV_SQL, **AUG_SQL}
+    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **CSV_SQL, **AUG_SQL}

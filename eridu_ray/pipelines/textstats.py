@@ -1,0 +1,237 @@
+"""Corpus-statistics operators for training-data pipelines.
+
+Beyond-reference family (the reference's report.py does value_counts on
+metadata columns, eridu/etl/report.py:45-71; these extend the same
+partial-aggregation pattern to token space):
+
+- ``vocab_topk``   — global term frequencies, per-batch partial combine
+  (value_counts inside map_batches) before the small token groupby — the
+  pre-aggregation shape that keeps the all-to-all exchange proportional
+  to the vocabulary, not the corpus.
+- ``bigram_topk``  — adjacent-token bigram counts (n-gram LM counts),
+  same partial-combine shape, fully vectorized from the Arrow list
+  offsets (no per-row Python).
+- ``rarest_term``  — per-document rarest token: document frequencies via
+  one partial-combined groupby, then the DF table is broadcast once
+  (``ray.put``, read in every scoring actor's ``__init__``) and each
+  document resolves its rarest token batch-locally — NO per-pair or
+  per-doc shuffle.  Partitioning assumption: the vocabulary fits in a
+  worker heap (natural-language Zipf vocabularies: ~1e7 entries / ~1 GB
+  at 100 TB corpus scale); beyond that, swap the broadcast for a
+  token-keyed join and a groupby(doc_id) argmin.
+- ``redact_numbers`` — vectorized RE2 redaction (digit runs -> '#') with
+  per-doc match counts; pyarrow and DuckDB both run RE2, so the oracle
+  comparison is byte-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOPK = 50
+
+
+def _rp(sf_dir: str, cols):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def _flat_tokens(batch: pa.Table) -> pa.Array:
+    """Whitespace-split tokens of every doc, flattened (keeps '' tokens
+    out to match the SQL ``WHERE t <> ''`` filter)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    flat = toks.combine_chunks().flatten() if isinstance(
+        toks, pa.ChunkedArray) else toks.flatten()
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def _partial_counts_batch(values: pa.Array, col: str) -> pa.Table:
+    """value_counts partial: one (value, n) row per distinct value in the
+    batch — the combiner that runs BEFORE the shuffle."""
+    vc = pc.value_counts(values)
+    return pa.table({col: vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def q_vocab_topk(sf_dir: str):
+    """Global token frequency top-k (n desc, token asc tie-break)."""
+    ds = _rp(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _partial_counts_batch(_flat_tokens(b), "token")
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").sum("n")
+            .rename_columns({"sum(n)": "n"})
+            .sort(["n", "token"], descending=[True, False])
+            .limit(TOPK))
+
+
+def _bigrams_batch(b: pa.Table) -> pa.Array:
+    """Adjacent-token bigrams, vectorized from the list offsets."""
+    toks = pc.split_pattern(b["text"], " ")
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat, offsets = la.flatten(), la.offsets.to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 2:
+        return pa.array([], pa.string())
+    # left indices: every position except each list's last element
+    left = np.ones(n - 1, dtype=bool)
+    last = offsets[1:] - 1          # last element index of each list
+    last = last[(last >= 0) & (last < n - 1)]
+    left[last] = False
+    idx = np.flatnonzero(left)
+    return pc.binary_join_element_wise(
+        flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), " ")
+
+
+def q_bigram_topk(sf_dir: str):
+    """Global adjacent-bigram frequency top-k."""
+    ds = _rp(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _partial_counts_batch(_bigrams_batch(b), "bigram")
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram").sum("n")
+            .rename_columns({"sum(n)": "n"})
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(TOPK))
+
+
+def _doc_token_tf(b: pa.Table):
+    """(doc_idx, token, tf) triples per batch, vectorized via pandas
+    drop_duplicates/value_counts (each doc is one row, so per-doc term
+    frequencies are batch-local and exact)."""
+    import pandas as pd
+
+    toks = pc.split_pattern(b["text"], " ")
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    offsets = la.offsets.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(b.num_rows), np.diff(offsets))
+    keep = flat != ""
+    df = pd.DataFrame({"d": doc_idx[keep], "t": flat[keep]})
+    tf = df.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+    return tf["d"].to_numpy(), tf["t"].to_numpy(), tf["tf"].to_numpy()
+
+
+class _RarestTermScorer:
+    """Actor: resolves each doc's rarest token against the broadcast DF
+    map (ray.get once per actor in __init__, not per batch)."""
+
+    def __init__(self, df_ref):
+        import ray
+
+        df_table = ray.get(df_ref)
+        self.df_map = dict(zip(df_table["token"].to_pylist(),
+                               df_table["df"].to_pylist()))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        d, t, tf = _doc_token_tf(b)
+        df = pd.Series(t).map(self.df_map).to_numpy(dtype=np.int64)
+        # per-doc argmin by (df asc, tf desc, token asc): lexsort keys are
+        # applied last-key-primary
+        order = np.lexsort((t, -tf, df, d))
+        d_sorted = d[order]
+        first = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+        pick = order[first]
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[d[pick]]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "token": pa.array(t[pick], pa.string()),
+            "tf": pa.array(tf[pick].astype(np.int64)),
+            "df": pa.array(df[pick])})
+
+
+def q_rarest_term(sf_dir: str):
+    """Per-document rarest token (min document frequency; ties by max tf
+    then token asc) — DF groupby + broadcast lookup, no doc-level shuffle."""
+    import ray
+
+    ds = _rp(sf_dir, ["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        d, t, _tf = _doc_token_tf(b)
+        # per-doc-distinct within the batch already; count docs per token
+        return _partial_counts_batch(pa.array(t, pa.string()), "token")
+
+    df_table = pa.table({
+        "token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    rows = (ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("token").sum("n")
+            .rename_columns({"sum(n)": "df"}))
+    # vocabulary-size table: bounded by the language, not the corpus
+    # (the broadcast-small-side assumption documented in the module)
+    df_batches = [b for b in rows.iter_batches(batch_format="pyarrow",
+                                               batch_size=1 << 20)]
+    if df_batches:
+        df_table = pa.concat_tables(
+            [pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch)
+             else rb for rb in df_batches])
+    df_ref = ray.put(df_table)
+    return ds.map_batches(
+        _RarestTermScorer, fn_constructor_kwargs={"df_ref": df_ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_redact_numbers(sf_dir: str):
+    """Digit-run redaction with per-doc match counts (RE2 both sides)."""
+    ds = _rp(sf_dir, ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_nums": pc.cast(
+                pc.count_substring_regex(b["text"], "[0-9]+"), pa.int64()),
+            "red": pc.replace_substring_regex(b["text"], "[0-9]+", "#")})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+TEXTSTATS_QUERIES = {
+    "vocab_topk": q_vocab_topk,
+    "bigram_topk": q_bigram_topk,
+    "rarest_term": q_rarest_term,
+    "redact_numbers": q_redact_numbers,
+}
+
+ORACLE_SQL = {
+    "vocab_topk": (
+        "SELECT t AS token, count(*)::BIGINT AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+        "WHERE t <> '' GROUP BY t "
+        f"ORDER BY n DESC, token LIMIT {TOPK}"),
+    "bigram_topk": (
+        "SELECT bg AS bigram, count(*)::BIGINT AS n FROM ("
+        "SELECT unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM ("
+        "SELECT string_split(text, ' ') AS toks FROM documents)) "
+        f"GROUP BY bg ORDER BY n DESC, bigram LIMIT {TOPK}"),
+    "rarest_term": (
+        "WITH tok AS ("
+        "  SELECT doc_id, t AS token, count(*)::BIGINT AS tf FROM ("
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "    FROM documents) WHERE t <> '' GROUP BY doc_id, t), "
+        "df AS (SELECT token, count(*)::BIGINT AS df FROM tok "
+        "       GROUP BY token) "
+        "SELECT doc_id, token, tf, df FROM ("
+        "  SELECT tok.doc_id, tok.token, tok.tf, df.df, row_number() "
+        "    OVER (PARTITION BY tok.doc_id "
+        "          ORDER BY df.df, tok.tf DESC, tok.token) AS rn "
+        "  FROM tok JOIN df USING (token)) WHERE rn = 1"),
+    "redact_numbers": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_nums, "
+        "regexp_replace(text, '[0-9]+', '#', 'g') AS red FROM documents"),
+}
