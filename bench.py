@@ -73,15 +73,25 @@ def run_bench() -> dict:
     ctx = rd.DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # best-of-N: the sandbox host shows hypervisor steal time up to ~30%
+    # in bursts (same code + corpus measured 42.6 s / 76.6 s / 115 s on
+    # different runs), so a single sample is not a measurement; min-wall
+    # is the stable signal.  ERIDU_BENCH_BEST_OF=1 restores single-shot.
+    best_of = int(os.environ.get("ERIDU_BENCH_BEST_OF", "2"))
+    flagship_runs = []
     try:
-        t0 = time.perf_counter()
-        res = run_dedup(rd.read_parquet(info["pages"],
-                                        override_num_blocks=nblocks), cfg)
-        n_labels = res.labels.count()
-        flagship_sec = time.perf_counter() - t0
+        for _ in range(max(1, best_of)):
+            t0 = time.perf_counter()
+            res = run_dedup(rd.read_parquet(info["pages"],
+                                            override_num_blocks=nblocks),
+                            cfg)
+            n_labels = res.labels.count()
+            flagship_runs.append(
+                (time.perf_counter() - t0, res.counters))
+            assert n_labels == n_pages, (n_labels, n_pages)
     finally:
         ctx.shuffle_strategy = prev_strategy
-    assert n_labels == n_pages, (n_labels, n_pages)
+    flagship_sec, counters = min(flagship_runs, key=lambda r: r[0])
 
     queries = {"dedup_flagship": round(flagship_sec, 3)}
     for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
@@ -102,7 +112,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / flagship_sec, 1),
-        "stages": {k: v for k, v in sorted(res.counters.items())
+        "flagship_runs_sec": [round(w, 3) for w, _ in flagship_runs],
+        "stages": {k: v for k, v in sorted(counters.items())
                    if k.startswith("sec.")},
     }
 
@@ -117,6 +128,10 @@ def run_scaling() -> dict:
         # engine (BASELINE.md scaling table)
         if "ERIDU_BENCH_REPEAT" not in os.environ:
             env["ERIDU_BENCH_REPEAT"] = "16"
+        # best-of-2 happens at THIS level (fresh processes); the child
+        # runs single-shot or the sample count compounds to 4 per level
+        if "ERIDU_BENCH_BEST_OF" not in os.environ:
+            env["ERIDU_BENCH_BEST_OF"] = "1"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
