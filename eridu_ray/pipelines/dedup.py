@@ -129,15 +129,19 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # concurrency across smaller shuffles beats one big barrier here.
     # one slim materialized rep table feeds all three branches (instead
     # of three filter passes over tagged)
+    # urls stay OFF the candidate path entirely (explode rows and pair
+    # rows ship ids only; verify re-attaches urls once per node from the
+    # signature table) — explode rows outnumber docs ~200:1 (winnow) so
+    # a repeated url string per row dominated that shuffle's payload
     sig_reps = tagged.filter(
         expr="is_rep == True and n_shingles > 0").drop_columns(
         ["pid", "is_rep", "rep_node", "rep_url", "chash", "chash2",
-         "n_shingles"])
+         "n_shingles", "url"])
     if cfg.checkpoint_dir is None:
         sig_reps = sig_reps.materialize()
-    band_explode = cand.BandExploder(cfg)
-    sim_explode = cand.SimhashChunkExploder(cfg)
-    win_explode = cand.WinnowExploder(cfg)
+    band_explode = cand.BandExploder(cfg, with_url=False)
+    sim_explode = cand.SimhashChunkExploder(cfg, with_url=False)
+    win_explode = cand.WinnowExploder(cfg, with_url=False)
     # MinHash-estimate prefilter: sketches are co-located in every bucket,
     # so hopeless pairs (estimate << borderline) die at emission and never
     # reach the shingle-blob verify joins — the round-1 measured bandwidth
@@ -189,7 +193,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             return verify_pairs_reduce(
                 all_cands, signatures, cfg,
                 keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard)
-        with_sets = attach_shingles(all_cands, signatures, cfg)
+        with_sets = attach_shingles(all_cands, signatures, cfg,
+                                    attach_urls=True)
         return with_sets.map_batches(
             jaccard_batch, batch_format="pyarrow",
             batch_size=cfg.batch_size,

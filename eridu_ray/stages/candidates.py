@@ -37,13 +37,33 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
+_SLIM_PAIR_SCHEMA = pa.schema([
+    ("node_a", pa.int64()),
+    ("node_b", pa.int64()),
+    ("src", pa.string()),
+    ("est", pa.float64()),
+])
+
+
 def _pairs_table(na, nb, ua, ub, src, est=None) -> pa.Table:
-    """src: one tag for every pair (str) or a per-pair sequence."""
+    """src: one tag for every pair (str) or a per-pair sequence.
+
+    ``ua is None`` emits the SLIM schema (no url columns): the flagship
+    candidate path ships ids only — urls re-attach once per node inside
+    the verify join, never once per pair (candidate pair rows outnumber
+    verified pairs ~35:1 pre-guard, so url strings on pair rows were the
+    bulk of the union+dedup shuffle payload).
+    """
     n = len(na)
     est_arr = (pa.nulls(n, pa.float64()) if est is None
                else pa.array(np.asarray(est, dtype=np.float64)))
     src_arr = (pa.array([src] * n, pa.string()) if isinstance(src, str)
                else pa.array(list(src), pa.string()))
+    if ua is None:
+        return pa.Table.from_arrays(
+            [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
+             src_arr, est_arr],
+            schema=_SLIM_PAIR_SCHEMA)
     return pa.Table.from_arrays(
         [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
          pa.array(ua, pa.string()), pa.array(ub, pa.string()),
@@ -52,10 +72,15 @@ def _pairs_table(na, nb, ua, ub, src, est=None) -> pa.Table:
 
 
 _EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()
+_EMPTY_SLIM_PAIRS = _SLIM_PAIR_SCHEMA.empty_table()
 
 
 def empty_pairs() -> pa.Table:
     return _EMPTY_PAIRS
+
+
+def empty_slim_pairs() -> pa.Table:
+    return _EMPTY_SLIM_PAIRS
 
 
 def sketch_from_minhash(sigs: np.ndarray) -> pa.Array:
@@ -222,34 +247,43 @@ def exact_groups_partition_fn(g: pa.Table) -> pa.Table:
 # --- MinHash LSH bands ----------------------------------------------------
 
 class BandExploder:
-    """reps -> (band_key, node_id, url) rows, 16 per doc (map_batches)."""
+    """reps -> (band_key, node_id[, url]) rows, 16 per doc (map_batches).
 
-    def __init__(self, cfg: PipelineConfig):
+    ``with_url=False`` (the flagship path) omits the url column: explode
+    rows outnumber docs 16:1, so a repeated url string per row is pure
+    shuffle dead weight when the verify join re-attaches urls per node.
+    """
+
+    def __init__(self, cfg: PipelineConfig, with_url: bool = True):
         self.cfg = cfg
+        self.with_url = with_url
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
         if n == 0:
-            return pa.table({"band_key": pa.array([], pa.int64()),
-                             "node_id": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string()),
-                             "sketch": pa.array([], pa.binary())})
+            cols = {"band_key": pa.array([], pa.int64()),
+                    "node_id": pa.array([], pa.int64()),
+                    "sketch": pa.array([], pa.binary())}
+            if self.with_url:
+                cols["url"] = pa.array([], pa.string())
+            return pa.table(cols)
         sigs = list_col_to_matrix(batch["minhash"], cfg.num_perms)
         bk = band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)  # (n, b)
         keys = (bk >> np.uint64(1)).astype(np.int64).reshape(-1)
         node = np.repeat(batch["node_id"].to_numpy(zero_copy_only=False),
                          cfg.lsh_bands)
-        urls = np.repeat(
-            np.asarray(batch["url"].to_pylist(), dtype=object),
-            cfg.lsh_bands)
         sketch = sketch_from_minhash(sigs)
         sk_rep = sketch.take(pa.array(
             np.repeat(np.arange(n, dtype=np.int64), cfg.lsh_bands)))
-        return pa.table({"band_key": pa.array(keys),
-                         "node_id": pa.array(node),
-                         "url": pa.array(urls, pa.string()),
-                         "sketch": sk_rep})
+        cols = {"band_key": pa.array(keys),
+                "node_id": pa.array(node),
+                "sketch": sk_rep}
+        if self.with_url:
+            cols["url"] = pa.array(np.repeat(
+                np.asarray(batch["url"].to_pylist(), dtype=object),
+                cfg.lsh_bands), pa.string())
+        return pa.table(cols)
 
 
 def make_band_pairs_fn(cap: int, est_min: float | None = None):
@@ -273,17 +307,20 @@ class SimhashChunkExploder:
 
     NCHUNKS = 4
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, with_url: bool = True):
         self.cfg = cfg
+        self.with_url = with_url
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({"chunk_key": pa.array([], pa.int64()),
-                             "node_id": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string()),
-                             "simhash": pa.array([], pa.int64()),
-                             "sketch": pa.array([], pa.binary())})
+            cols = {"chunk_key": pa.array([], pa.int64()),
+                    "node_id": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                    "sketch": pa.array([], pa.binary())}
+            if self.with_url:
+                cols["url"] = pa.array([], pa.string())
+            return pa.table(cols)
         simh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         chunks = simhash_chunks(simh, self.NCHUNKS)  # (n, 4) u64
         # chunk key = chunk value tagged by chunk index (disjoint keyspaces)
@@ -292,17 +329,19 @@ class SimhashChunkExploder:
         keys = keys.astype(np.int64).reshape(-1)
         node = np.repeat(batch["node_id"].to_numpy(zero_copy_only=False),
                          self.NCHUNKS)
-        urls = np.repeat(
-            np.asarray(batch["url"].to_pylist(), dtype=object), self.NCHUNKS)
         sims = np.repeat(simh.view(np.int64), self.NCHUNKS)
         sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
         sk_rep = sketch_from_minhash(sigs).take(pa.array(
             np.repeat(np.arange(n, dtype=np.int64), self.NCHUNKS)))
-        return pa.table({"chunk_key": pa.array(keys),
-                         "node_id": pa.array(node),
-                         "url": pa.array(urls, pa.string()),
-                         "simhash": pa.array(sims),
-                         "sketch": sk_rep})
+        cols = {"chunk_key": pa.array(keys),
+                "node_id": pa.array(node),
+                "simhash": pa.array(sims),
+                "sketch": sk_rep}
+        if self.with_url:
+            cols["url"] = pa.array(np.repeat(
+                np.asarray(batch["url"].to_pylist(), dtype=object),
+                self.NCHUNKS), pa.string())
+        return pa.table(cols)
 
 
 def make_simhash_pairs_fn(cap: int, max_hamming: int,
@@ -353,8 +392,9 @@ class WinnowExploder:
     scalable stand-in for a corpus-wide suffix array.
     """
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, with_url: bool = True):
         self.cfg = cfg
+        self.with_url = with_url
 
     SKETCH_SLOTS = 32  # winnow rows are numerous (one per fingerprint):
                        # carry a quarter-width sketch — enough resolution
@@ -366,25 +406,29 @@ class WinnowExploder:
                                                  list_col_to_matrix)
 
         if batch.num_rows == 0:
-            return pa.table({"fp_key": pa.array([], pa.int64()),
-                             "node_id": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string()),
-                             "sketch": pa.array([], pa.binary())})
+            cols = {"fp_key": pa.array([], pa.int64()),
+                    "node_id": pa.array([], pa.int64()),
+                    "sketch": pa.array([], pa.binary())}
+            if self.with_url:
+                cols["url"] = pa.array([], pa.string())
+            return pa.table(cols)
         values, offsets = list_col_to_arrays(batch["winnow"])
         counts = np.diff(offsets)
         keys = (values >> np.uint64(1)).astype(np.int64)
         node = np.repeat(batch["node_id"].to_numpy(zero_copy_only=False),
                          counts)
-        urls = np.repeat(
-            np.asarray(batch["url"].to_pylist(), dtype=object), counts)
         sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
         sk = sketch_from_minhash(sigs[:, :self.SKETCH_SLOTS])
         sk_rep = sk.take(pa.array(np.repeat(
             np.arange(batch.num_rows, dtype=np.int64), counts)))
-        return pa.table({"fp_key": pa.array(keys),
-                         "node_id": pa.array(node),
-                         "url": pa.array(urls, pa.string()),
-                         "sketch": sk_rep})
+        cols = {"fp_key": pa.array(keys),
+                "node_id": pa.array(node),
+                "sketch": sk_rep}
+        if self.with_url:
+            cols["url"] = pa.array(np.repeat(
+                np.asarray(batch["url"].to_pylist(), dtype=object),
+                counts), pa.string())
+        return pa.table(cols)
 
 
 def make_winnow_pairs_fn(cap: int):
@@ -666,7 +710,12 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
                             est_min: float | None = None,
                             with_simhash: bool = False,
                             max_hamming: int | None = None):
-    """map_groups over groupby('pid'): emit pairs for every bucket run."""
+    """map_groups over groupby('pid'): emit SLIM pairs for every bucket run.
+
+    Output is the slim (node_a, node_b, src, est) schema — no urls ride
+    on candidate pair rows; the verify join re-attaches urls once per
+    node from the signature table.
+    """
 
     def fn(g: pa.Table) -> pa.Table:
         keys = g[key_col].to_numpy(zero_copy_only=False)
@@ -676,13 +725,13 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
         node_s = node[order]
         n = keys_s.shape[0]
         if n < 2:
-            return empty_pairs()
+            return empty_slim_pairs()
         bnd = np.nonzero(keys_s[1:] != keys_s[:-1])[0] + 1
         starts = np.concatenate([[0], bnd])
         ends = np.concatenate([bnd, [n]])
         multi = np.nonzero(ends - starts >= 2)[0]
         if multi.size == 0:
-            return empty_pairs()
+            return empty_slim_pairs()
         sketch = None
         if "sketch" in g.column_names:
             sk = _sketch_matrix(g["sketch"])
@@ -710,17 +759,14 @@ def make_partition_pairs_fn(key_col: str, cap: int, src: str,
             if est is not None:
                 out_est.append(est)
         if not out_ii:
-            return empty_pairs()
+            return empty_slim_pairs()
         ii = np.concatenate(out_ii)
         jj = np.concatenate(out_jj)
         est = np.concatenate(out_est) if out_est else None
         srcs = ([t for tag, cnt in out_src for t in (tag,) * cnt]
                 if any(tag != src for tag, _ in out_src) else src)
-        urls_all = g["url"].to_pylist()
-        urls_s = [urls_all[i] for i in order]
-        return _pairs_table(node_s[ii], node_s[jj],
-                            [urls_s[i] for i in ii],
-                            [urls_s[j] for j in jj], srcs, est=est)
+        return _pairs_table(node_s[ii], node_s[jj], None, None, srcs,
+                            est=est)
 
     return fn
 
@@ -758,7 +804,7 @@ def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
         b = g["node_b"].to_numpy(zero_copy_only=False)
         n = a.shape[0]
         if n == 0:
-            return empty_pairs()
+            return empty_slim_pairs()
         order = np.lexsort((b, a))
         a_s, b_s = a[order], b[order]
         new_run = np.concatenate(
@@ -783,9 +829,7 @@ def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
         multi = np.nonzero(lens >= 2)[0]
         if multi.size:
             srcs = g["src"].to_pylist()
-            urls_a = g["url_a"].to_pylist()
-            urls_b = g["url_b"].to_pylist()
-            na, nb, ua, ub, ms, me = [], [], [], [], [], []
+            na, nb, ms, me = [], [], [], []
             for r in multi:
                 s, e = int(starts[r]), int(ends[r])
                 rows = order[s:e]
@@ -806,21 +850,18 @@ def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
                 first = int(rows[0])
                 na.append(a[first])
                 nb.append(b[first])
-                ua.append(urls_a[first])
-                ub.append(urls_b[first])
                 ms.append(",".join(sorted(tags)))
                 me.append(best)
             if na:
                 parts.append(pa.Table.from_arrays(
                     [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
-                     pa.array(ua, pa.string()), pa.array(ub, pa.string()),
                      pa.array(ms, pa.string()),
                      pa.array(me, pa.float64())],
-                    schema=_PAIR_SCHEMA))
+                    schema=_SLIM_PAIR_SCHEMA))
         if not parts:
-            return empty_pairs()
+            return empty_slim_pairs()
         return pa.concat_tables(
-            [p.select(_PAIR_SCHEMA.names) for p in parts])
+            [p.select(_SLIM_PAIR_SCHEMA.names) for p in parts])
 
     return fn
 

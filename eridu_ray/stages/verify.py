@@ -30,15 +30,23 @@ def blob_to_u32(buf) -> np.ndarray:
 
 
 def attach_shingles(candidates, signatures, cfg: PipelineConfig,
-                    column: str = "shingles"):
+                    column: str = "shingles", attach_urls: bool = False):
     """pairs (node_a, node_b, ...) join signatures twice -> + sh_a, sh_b.
 
     sh_a/sh_b are binary uint32-LE verify-set blobs (the signature
-    stage's wire format — decode with blob_to_u32).
+    stage's wire format — decode with blob_to_u32).  ``attach_urls``
+    also pulls url_a/url_b from the signature side — used by the
+    flagship, whose slim candidate pairs carry ids only.
     """
-    side = signatures.select_columns(["node_id", column])
-    a_side = side.rename_columns({column: "sh_a", "node_id": "na_key"})
-    b_side = side.rename_columns({column: "sh_b", "node_id": "nb_key"})
+    cols = ["node_id", column] + (["url"] if attach_urls else [])
+    side = signatures.select_columns(cols)
+    ren_a = {column: "sh_a", "node_id": "na_key"}
+    ren_b = {column: "sh_b", "node_id": "nb_key"}
+    if attach_urls:
+        ren_a["url"] = "url_a"
+        ren_b["url"] = "url_b"
+    a_side = side.rename_columns(ren_a)
+    b_side = side.rename_columns(ren_b)
     out = candidates.join(a_side, join_type="inner",
                           num_partitions=cfg.num_partitions,
                           on=("node_a",), right_on=("na_key",))
@@ -117,16 +125,17 @@ def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
 
 _P1_SCHEMA = pa.schema([
     ("key", pa.int64()), ("kind", pa.int8()), ("blob", pa.binary()),
+    ("url", pa.string()),  # sig rows only: the node's url (pairs are slim)
     ("node_a", pa.int64()), ("node_b", pa.int64()),
-    ("url_a", pa.string()), ("url_b", pa.string()),
     ("src", pa.string()), ("est", pa.float64()),
 ])
 
 _P1_OUT_SCHEMA = pa.schema([
     ("key", pa.int64()), ("kind", pa.int8()), ("blob", pa.binary()),
+    ("url", pa.string()),
     ("node_a", pa.int64()), ("node_b", pa.int64()),
-    ("url_a", pa.string()), ("url_b", pa.string()),
-    ("src", pa.string()), ("est", pa.float64()), ("sh_a", pa.binary()),
+    ("src", pa.string()), ("est", pa.float64()),
+    ("url_a", pa.string()), ("sh_a", pa.binary()),
 ])
 
 _VERIFIED_SCHEMA = pa.schema([
@@ -143,12 +152,13 @@ def _sig_side(signatures, column: str):
         n = b.num_rows
         return pa.Table.from_arrays(
             [b["node_id"], pa.array(np.zeros(n, np.int8)), b[column],
+             b["url"],
              pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
-             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
              pa.nulls(n, pa.string()), pa.nulls(n, pa.float64())],
             schema=_P1_SCHEMA)
 
-    return signatures.select_columns(["node_id", column]).map_batches(
+    return signatures.select_columns(
+        ["node_id", column, "url"]).map_batches(
         f, batch_format="pyarrow")
 
 
@@ -184,9 +194,8 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
         n = b.num_rows
         return with_pid(pa.Table.from_arrays(
             [b["node_a"], pa.array(np.ones(n, np.int8)),
-             pa.nulls(n, pa.binary()),
-             b["node_a"], b["node_b"], b["url_a"], b["url_b"],
-             b["src"], b["est"]],
+             pa.nulls(n, pa.binary()), pa.nulls(n, pa.string()),
+             b["node_a"], b["node_b"], b["src"], b["est"]],
             schema=_P1_SCHEMA))
 
     u1 = sig1.union(candidates.map_batches(pair_side1,
@@ -211,14 +220,18 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
         if starts.size == 0:
             return _P1_OUT_SCHEMA.empty_table()
         blobs = g["blob"].to_pylist()
-        pair_idx, sh_a = [], []
+        urls = g["url"].to_pylist()
+        pair_idx, sh_a, u_a = [], [], []
         for s, e in zip(starts, ends):
             blob = blobs[order[s]]
+            url = urls[order[s]]
             rows = order[s + 1:e]
             pair_idx.extend(int(r) for r in rows)
             sh_a.extend([blob] * (e - s - 1))
+            u_a.extend([url] * (e - s - 1))
         pairs = g.take(pa.array(pair_idx)).select(
             [f.name for f in _P1_SCHEMA])
+        pairs = pairs.append_column("url_a", pa.array(u_a, pa.string()))
         return pairs.append_column("sh_a", pa.array(sh_a, pa.binary()))
 
     p1 = u1.groupby("pid").map_groups(attach_a, batch_format="pyarrow")
@@ -228,13 +241,14 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
         n = b.num_rows
         return with_pid(pa.Table.from_arrays(
             [b["node_id"], pa.array(np.zeros(n, np.int8)), b[column],
+             b["url"],
              pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
-             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
              pa.nulls(n, pa.string()), pa.nulls(n, pa.float64()),
-             pa.nulls(n, pa.binary())],
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.binary())],
             schema=_P1_OUT_SCHEMA))
 
-    sig2 = signatures.select_columns(["node_id", column]).map_batches(
+    sig2 = signatures.select_columns(
+        ["node_id", column, "url"]).map_batches(
         sig_side2, batch_format="pyarrow")
 
     def rekey_b(b: pa.Table) -> pa.Table:
@@ -257,11 +271,13 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
             return _VERIFIED_SCHEMA.empty_table()
         blobs = g["blob"].to_pylist()
         blobs_a_all = g["sh_a"].to_pylist()
+        urls_all = g["url"].to_pylist()
         n_runs = starts.size
         pair_counts = ends - starts - 1
         pair_idx = np.concatenate(
             [order[s + 1:e] for s, e in zip(starts, ends)])
         head_blobs = [blobs[int(i)] for i in order[starts]]
+        head_urls = [urls_all[int(i)] for i in order[starts]]
         sb_sizes = np.fromiter(
             (len(b) >> 2 if b is not None else 0 for b in head_blobs),
             dtype=np.int64, count=n_runs)
@@ -300,9 +316,10 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
             kept_a = [None] * len(sa_blobs)
             kept_b = kept_a
         pairs = g.take(pa.array(pair_idx))
+        url_b = [head_urls[r] for r in pair_run]
         return pa.Table.from_arrays(
             [pairs["node_a"], pairs["node_b"], pairs["url_a"],
-             pairs["url_b"], pairs["src"], pairs["est"],
+             pa.array(url_b, pa.string()), pairs["src"], pairs["est"],
              pa.array(kept_a, pa.binary()), pa.array(kept_b, pa.binary()),
              pa.array(jac, pa.float64())],
             schema=_VERIFIED_SCHEMA)
