@@ -133,8 +133,16 @@ def run_scaling() -> dict:
         if "ERIDU_BENCH_BEST_OF" not in os.environ:
             env["ERIDU_BENCH_BEST_OF"] = "1"
         out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True,
+                             capture_output=True, text=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            # surface the child's failure — a swallowed stderr turns an
+            # OOM/crash into an opaque CalledProcessError
+            sys.stderr.write(
+                f"[bench --scaling] child (cpus={ncpu}) exited "
+                f"{out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-30:]) + "\n")
+            raise RuntimeError(f"scaling child failed (cpus={ncpu})")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
