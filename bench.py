@@ -79,6 +79,7 @@ def run_bench() -> dict:
     # is the stable signal.  ERIDU_BENCH_BEST_OF=1 restores single-shot.
     best_of = int(os.environ.get("ERIDU_BENCH_BEST_OF", "2"))
     flagship_runs = []
+    steal0 = _read_steal()
     try:
         for _ in range(max(1, best_of)):
             t0 = time.perf_counter()
@@ -91,6 +92,7 @@ def run_bench() -> dict:
             assert n_labels == n_pages, (n_labels, n_pages)
     finally:
         ctx.shuffle_strategy = prev_strategy
+    steal_frac = _steal_fraction(steal0, _read_steal())
     flagship_sec, counters = min(flagship_runs, key=lambda r: r[0])
 
     queries = {"dedup_flagship": round(flagship_sec, 3)}
@@ -113,9 +115,31 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / flagship_sec, 1),
         "flagship_runs_sec": [round(w, 3) for w, _ in flagship_runs],
+        # host-validity evidence: hypervisor steal fraction over the
+        # timed window.  This sandbox shows steal bursts up to ~50%
+        # (BASELINE.md round-3 section) which inflate wide-parallelism
+        # walls 2-4x; a sample with steal_frac >~ 0.02 is not a
+        # measurement of the engine.
+        "steal_frac": steal_frac,
         "stages": {k: v for k, v in sorted(counters.items())
                    if k.startswith("sec.")},
     }
+
+
+def _read_steal():
+    """(steal_jiffies, total_jiffies) from /proc/stat; None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return v[7], sum(v)
+    except Exception:
+        return None
+
+
+def _steal_fraction(s0, s1):
+    if s0 is None or s1 is None or s1[1] <= s0[1]:
+        return None
+    return round((s1[0] - s0[0]) / (s1[1] - s0[1]), 4)
 
 
 def run_scaling() -> dict:
@@ -168,6 +192,10 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "sf": SF_DIR,
         "n_pages": lo["n_pages"],
+        # steal fraction of the SELECTED (min-wall) run at each level —
+        # judge the efficiency number against these (BASELINE.md)
+        "steal_frac_lo": lo.get("steal_frac"),
+        "steal_frac_hi": hi.get("steal_frac"),
     }
 
 
