@@ -170,13 +170,29 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
+    # the efficiency quotient is meaningless under hypervisor contention
+    # (BASELINE.md: measured 0.86 calm vs 0.33-0.61 at 3-8% steal, same
+    # code) — wait up to ERIDU_SCALING_CALM_WAIT s for steal to drop
+    # below 2% before sampling; proceed regardless after the deadline so
+    # unattended runs never hang.
+    calm_wait = float(os.environ.get("ERIDU_SCALING_CALM_WAIT", "600"))
+    deadline = time.monotonic() + calm_wait
+    while time.monotonic() < deadline:
+        s0 = _read_steal()
+        time.sleep(5)
+        frac = _steal_fraction(s0, _read_steal())
+        if frac is None or frac < 0.02:
+            break
     # warm fixture cache + OS page cache with an untimed run (at hi_cpus —
     # warming only needs the fixture generated and files touched)
     one(hi_cpus)
-    # best-of-2 fresh-process runs per level: single runs vary +-25%
-    # (streaming-executor scheduling noise), min-wall is the stable signal
-    lo = min((one(lo_cpus) for _ in range(2)), key=lambda r: r["value"])
-    hi = min((one(hi_cpus) for _ in range(2)), key=lambda r: r["value"])
+    # best-of-2 fresh-process runs per level, INTERLEAVED lo/hi so a
+    # steal burst degrades both levels instead of biasing the quotient;
+    # single runs vary +-25% (streaming-executor scheduling noise),
+    # min-wall is the stable signal
+    samples = [(one(lo_cpus), one(hi_cpus)) for _ in range(2)]
+    lo = min((s[0] for s in samples), key=lambda r: r["value"])
+    hi = min((s[1] for s in samples), key=lambda r: r["value"])
     speedup = lo["value"] / hi["value"]
     eff = speedup / (hi_cpus / lo_cpus)
     return {
