@@ -170,19 +170,34 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
+    CALM = 0.02  # steal fraction below which a sample counts as calm
+
     # the efficiency quotient is meaningless under hypervisor contention
-    # (BASELINE.md: measured 0.86 calm vs 0.33-0.61 at 3-8% steal, same
+    # (BASELINE.md: measured 0.86 calm vs 0.33-0.71 at 3-8% steal, same
     # code) — wait up to ERIDU_SCALING_CALM_WAIT s for steal to drop
     # below 2% before sampling; proceed regardless after the deadline so
     # unattended runs never hang.
     calm_wait = float(os.environ.get("ERIDU_SCALING_CALM_WAIT", "600"))
-    deadline = time.monotonic() + calm_wait
-    while time.monotonic() < deadline:
-        s0 = _read_steal()
-        time.sleep(5)
-        frac = _steal_fraction(s0, _read_steal())
-        if frac is None or frac < 0.02:
-            break
+
+    def wait_calm():
+        deadline = time.monotonic() + calm_wait
+        while time.monotonic() < deadline:
+            s0 = _read_steal()
+            time.sleep(5)
+            frac = _steal_fraction(s0, _read_steal())
+            if frac is None or frac < CALM:
+                break
+
+    def best(runs):
+        # min-wall among CALM runs; a stolen wall measures the
+        # hypervisor, not the engine (only if no calm run exists does
+        # min-wall overall stand in, and its steal_frac flags it)
+        calm = [r for r in runs
+                if r.get("steal_frac") is not None
+                and r["steal_frac"] < CALM]
+        return min(calm or runs, key=lambda r: r["value"])
+
+    wait_calm()
     # warm fixture cache + OS page cache with an untimed run (at hi_cpus —
     # warming only needs the fixture generated and files touched)
     one(hi_cpus)
@@ -190,9 +205,21 @@ def run_scaling() -> dict:
     # steal burst degrades both levels instead of biasing the quotient;
     # single runs vary +-25% (streaming-executor scheduling noise),
     # min-wall is the stable signal
-    samples = [(one(lo_cpus), one(hi_cpus)) for _ in range(2)]
-    lo = min((s[0] for s in samples), key=lambda r: r["value"])
-    hi = min((s[1] for s in samples), key=lambda r: r["value"])
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        lo_runs.append(one(lo_cpus))
+        hi_runs.append(one(hi_cpus))
+    # steal bursts are minutes-long and asymmetric (r3e: lo sampled at
+    # 1.5% steal, hi at 5.6% — quotient collapses); retry a level whose
+    # best run was stolen, re-waiting for calm first, bounded so
+    # unattended runs terminate.
+    extras = int(os.environ.get("ERIDU_SCALING_MAX_EXTRA", "3"))
+    for runs, ncpu in ((lo_runs, lo_cpus), (hi_runs, hi_cpus)):
+        while extras > 0 and (best(runs).get("steal_frac") or 1.0) >= CALM:
+            wait_calm()
+            runs.append(one(ncpu))
+            extras -= 1
+    lo, hi = best(lo_runs), best(hi_runs)
     speedup = lo["value"] / hi["value"]
     eff = speedup / (hi_cpus / lo_cpus)
     return {
@@ -208,10 +235,16 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "sf": SF_DIR,
         "n_pages": lo["n_pages"],
-        # steal fraction of the SELECTED (min-wall) run at each level —
-        # judge the efficiency number against these (BASELINE.md)
+        # steal fraction of the SELECTED run at each level — judge the
+        # efficiency number against these (BASELINE.md); selection
+        # prefers calm runs, so >=2% here means no calm sample was
+        # obtained within the retry budget
         "steal_frac_lo": lo.get("steal_frac"),
         "steal_frac_hi": hi.get("steal_frac"),
+        "samples_lo": [(r["value"], r.get("steal_frac"))
+                       for r in lo_runs],
+        "samples_hi": [(r["value"], r.get("steal_frac"))
+                       for r in hi_runs],
     }
 
 
