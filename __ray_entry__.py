@@ -102,11 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs["ann_ivf_topk"] = _ann_ivf
 
-    # multimodal stub stages (deterministic fake decode; rows-only)
+    # multimodal stages (rows-only). The r3 deterministic-fake decode
+    # entry (mm.decode_images) is superseded in the driver registry by the
+    # REAL BMP decode below — the fake path stays tested in tests/test_ops.
     from eridu_ray.stages import multimodal as mm
 
-    qs["multimodal_decode"] = lambda sf: mm.decode_images(sf).drop_columns(
-        ["thumb"])
     qs["multimodal_frames"] = mm.sample_frames
 
     # REAL decodes: pure-numpy BMP / PCM-WAV parsers over deterministic

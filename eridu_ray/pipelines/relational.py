@@ -33,17 +33,15 @@ def _rp(sf_dir: str, table: str, columns=None):
 
 # --- filters / projections (M1-M5, M15) -----------------------------------
 
-def q_filter_conj(sf_dir):
-    """M1: conjunctive equality filter (eridu/etl/filter.py:69-71)."""
+def q_filter_conj_disj(sf_dir):
+    """M1+M2+M4: conjunctive AND disjunctive boolean-mask filters in one
+    compound predicate (eridu/etl/filter.py:69-76) — the r3 queries
+    ``filter_conj``/``filter_disj`` collapsed so every registered entry
+    fits the driver's 50-query CORRECTNESS window (VERDICT r3 #1)."""
     return _rp(sf_dir, "documents",
                ["doc_id", "lang", "source", "n_chars"]).filter(
-        expr="lang == 'en' and source == 'src1'")
-
-
-def q_filter_disj(sf_dir):
-    """M2: disjunctive filter (eridu/etl/filter.py:74-76)."""
-    return _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).filter(
-        expr="lang == 'de' or lang == 'zh'")
+        expr="(lang == 'en' and source == 'src1') "
+             "or lang == 'de' or lang == 'zh'")
 
 
 def q_filter_tokens(sf_dir):
@@ -61,38 +59,26 @@ def q_filter_tokens(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def q_project(sf_dir):
-    """M5: projection + rename (eridu/etl/report.py:75)."""
-    return _rp(sf_dir, "lineitem",
-               ["l_orderkey", "l_linenumber", "l_quantity"]).rename_columns(
-        {"l_orderkey": "okey", "l_linenumber": "lno", "l_quantity": "qty"})
+def q_project_compute_cast(sf_dir):
+    """M5+M6+M15 in one vectorized map: projection/rename
+    (eridu/etl/report.py:75), computed column append (report.py:7-9) and
+    the boolean->float label cast (fine_tune_sbert.py:288).  The r3
+    ``project``/``add_column``/``label_cast`` micro-queries collapsed
+    (VERDICT r3 #1) — one scan still gates all three ops.
 
-
-def q_add_column(sf_dir):
-    """M6: computed column append (eridu/etl/report.py:7-9).
-
-    Output as integer milli-units: round(value*1.1, 4) produces different
-    ulps in pyarrow vs DuckDB; round(value*1100) is exactly integral for
-    2-decimal inputs so both engines agree bit-for-bit."""
+    Computed column as integer milli-units: round(value*1.1, 4) produces
+    different ulps in pyarrow vs DuckDB; round(value*1100) is exactly
+    integral for 2-decimal inputs so both engines agree bit-for-bit."""
     ds = _rp(sf_dir, "events", ["event_id", "value"])
 
     def f(b: pa.Table) -> pa.Table:
         taxed = np.rint(
             b["value"].to_numpy(zero_copy_only=False) * 1100
         ).astype(np.int64)
-        return pa.table({"event_id": b["event_id"],
-                         "value_with_tax_milli": pa.array(taxed)})
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
-def q_label_cast(sf_dir):
-    """M15: boolean -> float label cast (fine_tune_sbert.py:288)."""
-    ds = _rp(sf_dir, "events", ["event_id", "value"])
-
-    def f(b: pa.Table) -> pa.Table:
         lab = pc.cast(pc.greater_equal(b["value"], 100.0), pa.float64())
-        return pa.table({"event_id": b["event_id"], "label": lab})
+        return pa.table({"eid": b["event_id"],
+                         "value_with_tax_milli": pa.array(taxed),
+                         "label": lab})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -100,34 +86,21 @@ def q_label_cast(sf_dir):
 # --- grouped aggregates (A2-A11) ------------------------------------------
 
 def q_groupby_count(sf_dir):
-    """A2: groupBy(col).count() (eridu/etl/report.py:45)."""
+    """A2 (and A8 value_counts, eridu/etl/analyze.py:19 — same groupby-
+    count op, r3 query ``value_counts`` collapsed into this one):
+    groupBy(col).count() (eridu/etl/report.py:45)."""
     return (_rp(sf_dir, "events", ["event_type"])
             .groupby("event_type").count()
             .rename_columns({"count()": "n"}))
 
 
 def q_multikey_count(sf_dir):
-    """A3: multi-key grouped count (eridu/etl/report.py:50-64)."""
+    """A3 (and A4 language-pair counts, eridu/etl/report.py:68-71 — same
+    multi-key grouped count, r3 ``langpair_count`` collapsed into this
+    one): multi-key grouped count (eridu/etl/report.py:50-64)."""
     return (_rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
             .groupby(["l_returnflag", "l_linestatus"]).count()
             .rename_columns({"count()": "n"}))
-
-
-def q_langpair_count(sf_dir):
-    """A4: language-pair counts (eridu/etl/report.py:68-71)."""
-    return (_rp(sf_dir, "documents", ["lang", "source"])
-            .groupby(["lang", "source"]).count()
-            .rename_columns({"count()": "n"}))
-
-
-def q_distinct_count(sf_dir):
-    """A5: distinct count on a key subset (eridu/etl/report.py:100)."""
-    import ray.data as rd
-
-    distinct = (_rp(sf_dir, "documents", ["lang", "source"])
-                .groupby(["lang", "source"]).count())
-    n = distinct.count()
-    return pa.table({"n": pa.array([n], pa.int64())})
 
 
 def q_dup_patterns(sf_dir):
@@ -179,59 +152,52 @@ def q_grouped_multi_agg(sf_dir):
                              "count()": "n"}))
 
 
-def q_value_counts(sf_dir):
-    """A8: value_counts (eridu/etl/analyze.py:19)."""
-    return (_rp(sf_dir, "documents", ["lang"]).groupby("lang").count()
-            .rename_columns({"count()": "n"}))
-
-
-def _events_cents(sf_dir, cols):
-    ds = _rp(sf_dir, "events", cols)
-
-    def f(b: pa.Table) -> pa.Table:
-        cents = np.rint(
-            b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        out = {c: b[c] for c in cols if c != "value"}
-        out["cents"] = pa.array(cents)
-        out["cents_sq"] = pa.array(cents * cents)
-        return pa.table(out)
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def q_score_stats(sf_dir):
-    """A9: per-category stats (error_category_analysis.py:32-41).
+    """A9 per-category stats (error_category_analysis.py:32-41) + A10
+    global moments (fine_tune_sbert.py:422-434) as one query: the global
+    row is the ``event_type='ALL'`` rollup (r3 ``global_stats`` collapsed
+    into this one, VERDICT r3 #1).
 
     min/max stay double (they select an input value bit-identically);
     mean/std are emitted as exact integer moments (sum, sum of squares in
     cents) so the compare is ulp-proof — the reference's mean/std are
-    derivable from (n, sum, sumsq)."""
+    derivable from (n, sum, sumsq).  One grouped aggregate, one shuffle
+    (the r3 version joined two aggregates); the rollup row folds from the
+    tiny per-category result on the driver (rows = #categories)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = _rp(sf_dir, "events", ["event_type", "value"])
-    cents = _events_cents(sf_dir, ["event_type", "value"])
-    minmax = (ds.groupby("event_type").aggregate(Min("value"), Max("value"))
-              .rename_columns({"min(value)": "min_value",
-                               "max(value)": "max_value"}))
-    moments = (cents.groupby("event_type")
-               .aggregate(Count(), Sum("cents"), Sum("cents_sq"))
-               .rename_columns({"count()": "n", "sum(cents)": "sum_cents",
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": b["event_type"], "value": b["value"],
+                         "cents": pa.array(cents),
+                         "cents_sq": pa.array(cents * cents)})
+
+    grouped = (ds.map_batches(prep, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Min("value"), Max("value"), Count(),
+                          Sum("cents"), Sum("cents_sq"))
+               .rename_columns({"min(value)": "min_value",
+                                "max(value)": "max_value",
+                                "count()": "n",
+                                "sum(cents)": "sum_cents",
                                 "sum(cents_sq)": "sumsq_cents"}))
-    return minmax.join(moments, join_type="inner", num_partitions=2,
-                       on=("event_type",))
-
-
-def q_global_stats(sf_dir):
-    """A10: global moments (fine_tune_sbert.py:422-434) as exact ints."""
-    from ray.data.aggregate import Count, Sum
-
-    cents = _events_cents(sf_dir, ["value"])
-    res = cents.aggregate(Count(), Sum("cents"), Sum("cents_sq"))
-    return pa.table({
-        "n": pa.array([res["count()"]], pa.int64()),
-        "sum_cents": pa.array([res["sum(cents)"]], pa.int64()),
-        "sumsq_cents": pa.array([res["sum(cents_sq)"]], pa.int64()),
+    tab = pa.concat_tables(
+        b for b in grouped.iter_batches(batch_format="pyarrow"))
+    allrow = pa.table({
+        "event_type": pa.array(["ALL"], pa.string()),
+        "min_value": pa.array([pc.min(tab["min_value"]).as_py()],
+                              pa.float64()),
+        "max_value": pa.array([pc.max(tab["max_value"]).as_py()],
+                              pa.float64()),
+        "n": pa.array([pc.sum(tab["n"]).as_py()], pa.int64()),
+        "sum_cents": pa.array([pc.sum(tab["sum_cents"]).as_py()], pa.int64()),
+        "sumsq_cents": pa.array([pc.sum(tab["sumsq_cents"]).as_py()],
+                                pa.int64()),
     })
+    return pa.concat_tables([tab, allrow.cast(tab.schema)])
 
 
 def q_confusion_counts(sf_dir):
@@ -267,17 +233,15 @@ def q_confusion_counts(sf_dir):
 # --- sorts / limits / sampling / splits (O1-O8) ---------------------------
 
 def q_top_k(sf_dir):
-    """O1: sort desc + limit with total tie-break (report.py:113-129)."""
+    """O1 sort desc + limit with total tie-break (report.py:113-129).
+    Also gates O2 multi-key sort (analyze.py:108) — the sort key here is
+    already multi-key, and the r3 standalone ``multikey_sort`` never
+    gated order anyway (the driver compare is order-insensitive), so it
+    collapsed into this query (VERDICT r3 #1); ascending multi-key sorts
+    stay covered by tests over evaluate/temporal stages."""
     return (_rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
             .sort(["o_totalprice", "o_orderkey"], descending=[True, True])
             .limit(10))
-
-
-def q_multikey_sort(sf_dir):
-    """O2: multi-key sort (analyze.py:108); compare is order-insensitive so
-    this gates the sort op's row preservation, not order."""
-    return (_rp(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
-            .sort(["lang", "doc_id"]))
 
 
 def q_sample_hash(sf_dir):
@@ -313,7 +277,12 @@ def q_hash_split(sf_dir):
 
 def q_exact_dedup(sf_dir):
     """D1: exact dedup on content, keep min-key row
-    (dropDuplicates semantics made deterministic, eridu/etl/filter.py:51-54)."""
+    (dropDuplicates semantics made deterministic, eridu/etl/filter.py:51-54).
+    The r3 companion ``exact_dup_pairs`` (identical-content pair emission,
+    Clusters.md:101-103) was dropped from the driver registry — it matched
+    vacuously (0 rows both sides at sf0.01); the pair-emission semantics
+    stay gated by the flagship exact stage (stages/candidates.py:219) and
+    its tests."""
     ds = _rp(sf_dir, "documents",
              ["doc_id", "text", "lang", "source", "n_chars"])
 
@@ -325,32 +294,11 @@ def q_exact_dedup(sf_dir):
                                          batch_format="pyarrow")
 
 
-def q_exact_dup_pairs(sf_dir):
-    """D1 companion: identical-content pairs (Clusters.md:101-103 dup
-    analysis) — groupby(content) emitting canonical (min, other) pairs."""
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-
-    schema = pa.schema([("doc_id_a", pa.int64()),
-                        ("doc_id_b", pa.int64())])
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
-        if ids.size < 2:
-            return schema.empty_table()
-        ii, jj = np.triu_indices(ids.size, k=1)
-        return pa.table({"doc_id_a": pa.array(ids[ii]),
-                         "doc_id_b": pa.array(ids[jj])})
-
-    out = ds.groupby("text").map_groups(pairs, batch_format="pyarrow")
-    # all-empty map_groups output loses its schema in Ray; the dup-pair set
-    # is tiny by construction, so collect into an explicitly-schema'd Table
-    return pa.concat_tables(
-        [schema.empty_table()]
-        + [b.cast(schema) for b in out.iter_batches(batch_format="pyarrow")])
-
-
 def q_distinct_vals(sf_dir):
-    """D3: unique() (eridu/etl/disco.py:43)."""
+    """D3: unique() (eridu/etl/disco.py:43).  Also gates A5 distinct-count
+    (eridu/etl/report.py:100 — the count is this result's row count; the
+    r3 standalone ``distinct_count`` collapsed into this one,
+    VERDICT r3 #1)."""
     return (_rp(sf_dir, "documents", ["lang"]).groupby("lang").count()
             .drop_columns(["count()"]))
 
@@ -469,7 +417,10 @@ def q_quality_scores(sf_dir):
 
 
 def q_doc_fingerprint(sf_dir):
-    """Document fingerprinting — hex MD5, byte-identical to DuckDB md5()."""
+    """Document fingerprinting — hex MD5, byte-identical to DuckDB md5() —
+    plus the multimodal-plumbing metadata column (opaque payload cast to
+    binary, typed byte length; the r3 ``payload_meta`` query collapsed
+    into this one, VERDICT r3 #1) in the same scan."""
     import hashlib
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -477,21 +428,11 @@ def q_doc_fingerprint(sf_dir):
     def f(b: pa.Table) -> pa.Table:
         fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
                for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"],
-                         "fp": pa.array(fps, pa.string())})
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
-def q_payload_meta(sf_dir):
-    """Multimodal plumbing: opaque payload treated as binary + typed
-    metadata (byte length); decode itself is stubbed (multimodal.py)."""
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(b: pa.Table) -> pa.Table:
         payload = pc.cast(b["text"], pa.binary())
         nbytes = pc.cast(pc.binary_length(payload), pa.int64())
-        return pa.table({"doc_id": b["doc_id"], "payload_bytes": nbytes})
+        return pa.table({"doc_id": b["doc_id"],
+                         "fp": pa.array(fps, pa.string()),
+                         "payload_bytes": nbytes})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -611,28 +552,19 @@ def q_error_examples(sf_dir):
 
 def build_queries() -> dict:
     return {
-        "filter_conj": q_filter_conj,
-        "filter_disj": q_filter_disj,
+        "filter_conj_disj": q_filter_conj_disj,
         "filter_tokens": q_filter_tokens,
-        "project": q_project,
-        "add_column": q_add_column,
-        "label_cast": q_label_cast,
+        "project_compute_cast": q_project_compute_cast,
         "groupby_count": q_groupby_count,
         "multikey_count": q_multikey_count,
-        "langpair_count": q_langpair_count,
-        "distinct_count": q_distinct_count,
         "dup_patterns": q_dup_patterns,
         "grouped_multi_agg": q_grouped_multi_agg,
-        "value_counts": q_value_counts,
         "score_stats": q_score_stats,
-        "global_stats": q_global_stats,
         "confusion_counts": q_confusion_counts,
         "top_k": q_top_k,
-        "multikey_sort": q_multikey_sort,
         "sample_hash": q_sample_hash,
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
-        "exact_dup_pairs": q_exact_dup_pairs,
         "distinct_vals": q_distinct_vals,
         "union_distinct": q_union_distinct,
         "semi_join": q_semi_join,
@@ -641,7 +573,6 @@ def build_queries() -> dict:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
-        "payload_meta": q_payload_meta,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -650,35 +581,23 @@ def build_queries() -> dict:
 
 
 ORACLE_SQL: dict[str, str] = {
-    "filter_conj": (
+    "filter_conj_disj": (
         "SELECT doc_id, lang, source, n_chars FROM documents "
-        "WHERE lang = 'en' AND source = 'src1'"),
-    "filter_disj": (
-        "SELECT doc_id, lang, n_chars FROM documents "
-        "WHERE lang = 'de' OR lang = 'zh'"),
+        "WHERE (lang = 'en' AND source = 'src1') "
+        "OR lang = 'de' OR lang = 'zh'"),
     "filter_tokens": (
         "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "
         "FROM documents WHERE len(string_split(text, ' ')) > 60 "
         "AND lang = 'en'"),
-    "project": (
-        "SELECT l_orderkey AS okey, l_linenumber AS lno, l_quantity AS qty "
-        "FROM lineitem"),
-    "add_column": (
-        "SELECT event_id, CAST(round(value * 1100) AS BIGINT) "
-        "AS value_with_tax_milli FROM events"),
-    "label_cast": (
-        "SELECT event_id, (value >= 100.0)::DOUBLE AS label FROM events"),
+    "project_compute_cast": (
+        "SELECT event_id AS eid, CAST(round(value * 1100) AS BIGINT) "
+        "AS value_with_tax_milli, (value >= 100.0)::DOUBLE AS label "
+        "FROM events"),
     "groupby_count": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"),
     "multikey_count": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
         "GROUP BY l_returnflag, l_linestatus"),
-    "langpair_count": (
-        "SELECT lang, source, count(*) AS n FROM documents "
-        "GROUP BY lang, source"),
-    "distinct_count": (
-        "SELECT count(*) AS n FROM "
-        "(SELECT DISTINCT lang, source FROM documents)"),
     "dup_patterns": (
         "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
         "HAVING count(*) > 1"),
@@ -690,21 +609,14 @@ ORACLE_SQL: dict[str, str] = {
         "sum(CAST(round(l_discount * 10000) AS BIGINT))::BIGINT AS sum_disc_bp, "
         "count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
-    "value_counts": (
-        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"),
     "score_stats": (
-        "SELECT event_type, min(value) AS min_value, "
+        "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+        "min(value) AS min_value, "
         "max(value) AS max_value, count(*) AS n, "
         "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
         "sum(CAST(round(value * 100) AS BIGINT) "
         "* CAST(round(value * 100) AS BIGINT))::BIGINT AS sumsq_cents "
-        "FROM events GROUP BY event_type"),
-    "global_stats": (
-        "SELECT count(*) AS n, "
-        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
-        "sum(CAST(round(value * 100) AS BIGINT) "
-        "* CAST(round(value * 100) AS BIGINT))::BIGINT AS sumsq_cents "
-        "FROM events"),
+        "FROM events GROUP BY ROLLUP(event_type)"),
     "confusion_counts": (
         "SELECT event_type, "
         "count(*) FILTER (value >= 100.0) AS hi, "
@@ -713,9 +625,6 @@ ORACLE_SQL: dict[str, str] = {
     "top_k": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10"),
-    "multikey_sort": (
-        "SELECT lang, doc_id, n_chars FROM documents "
-        "ORDER BY lang, doc_id"),
     "sample_hash": (
         "SELECT doc_id, lang FROM documents "
         "WHERE doc_id * 2654435761 % 100 < 10"),
@@ -727,10 +636,6 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, text, lang, source, n_chars FROM ("
         "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn "
         "FROM documents) WHERE rn = 1"),
-    "exact_dup_pairs": (
-        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
-        "FROM documents a JOIN documents b "
-        "ON a.text = b.text AND a.doc_id < b.doc_id"),
     "distinct_vals": "SELECT DISTINCT lang FROM documents",
     "union_distinct": (
         "SELECT o_custkey AS key FROM orders "
@@ -755,10 +660,9 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
         "(length(text) - len(string_split(text, ' ')) + 1)::BIGINT "
         "AS sum_token_chars FROM documents"),
-    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
-    "payload_meta": (
-        "SELECT doc_id, strlen(text)::BIGINT AS payload_bytes "
-        "FROM documents"),
+    "doc_fingerprint": (
+        "SELECT doc_id, md5(text) AS fp, "
+        "strlen(text)::BIGINT AS payload_bytes FROM documents"),
     # lang_id: rows-only (heuristic, not SQL-expressible)
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
