@@ -14,6 +14,16 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
+#: Fingerprint-algorithm version, folded into config_hash so checkpoints
+#: written by an older kernel are invalidated even when no config FIELD
+#: changed.  Bump whenever a change to kernels/ or stages/signatures.py
+#: alters any persisted signature/fingerprint (minhash perms, simhash,
+#: winnow/CDC/repetition markers, verify-set projection) — e.g. round 3's
+#: repetitive-span repetition markers changed winnow output while every
+#: config field stayed identical, so a pre-change "signatures" checkpoint
+#: would have silently resumed under the new code.
+KERNEL_VERSION = 3
+
 
 @dataclass(frozen=True)
 class PipelineConfig:
@@ -113,6 +123,7 @@ class PipelineConfig:
                   "checkpoint_dir", "verify_strategy",
                   "bucket_partitions"):
             d.pop(k)
+        d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -39,8 +39,11 @@ _EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
 # extra filler vocabulary for token substitutions (deterministic)
 _SUBS = [f"zrep{i}" for i in range(64)]
 
-GENERATOR_VERSION = 4  # v4: borderline variants adjudicated by the stub
+GENERATOR_VERSION = 5  # v4: borderline variants adjudicated by the stub
                        # scorer + per-doc cipher isolation (no salt tokens)
+                       # v5: fatten filler namespace widened to a 32-bit
+                       # per-doc shift (filler content changed -> bench
+                       # fixture caches must regenerate)
 
 _CIPHER_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -293,10 +296,15 @@ def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
                 fat = []
                 for did, txt in zip(new_ids, texts):
                     ntok = txt.count(" ") + 1
-                    # unique-per-doc filler tokens: zero cross-doc
-                    # shingle overlap, so padding adds payload without
-                    # adding candidate pairs
-                    hs = splitmix64((np.uint64(did) << np.uint64(24))
+                    # per-doc filler tokens with negligible cross-doc
+                    # shingle overlap (40-bit splitmix64 truncations —
+                    # collisions are ~n²/2⁴⁰-improbable, not impossible),
+                    # so padding adds payload without materially adding
+                    # candidate pairs.  The 32-bit per-doc namespace
+                    # shift keeps the filler index out of the doc-id
+                    # bits for any ntok*fatten < 2³² (doc ids stay
+                    # < 2³², so the shifted key fits uint64).
+                    hs = splitmix64((np.uint64(did) << np.uint64(32))
                                     | np.arange(ntok * fatten,
                                                 dtype=np.uint64))
                     fat.append(txt + " " + " ".join(

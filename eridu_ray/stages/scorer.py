@@ -61,12 +61,23 @@ class HashedEncoder:
         return out / norms
 
 
+#: entity-type suffixes the reference strips for backward compatibility
+#: (eridu/etl/compare.py:48-52) — ONLY these, and only when the stripped
+#: base path exists on disk: a bare rsplit("-") would silently turn a
+#: failed versioned id like "all-MiniLM-L6-v2" into the different (and
+#: possibly loadable) "all-MiniLM-L6".
+_ENTITY_SUFFIXES = ("-companies", "-people", "-addresses")
+
+
 def load_sbert_encoder(model_path: str | None = None):
     """T1 model loader with the reference's fallback chain
-    (eridu/etl/compare.py:32-61): exact path -> path minus trailing
-    "-suffix" -> the public HF hub id.  Returns None when
-    sentence-transformers or every candidate is unavailable (this
-    sandbox: always None — callers fall back to the hashed stub)."""
+    (eridu/etl/compare.py:30-61): exact path -> path minus a KNOWN
+    entity-type suffix (if that base exists on disk) -> the public HF
+    hub id.  Returns None when sentence-transformers or every candidate
+    is unavailable (this sandbox: always None — callers fall back to the
+    hashed stub)."""
+    import os
+
     try:
         from sentence_transformers import SentenceTransformer
     except Exception:
@@ -74,9 +85,10 @@ def load_sbert_encoder(model_path: str | None = None):
     cands = []
     if model_path:
         cands.append(model_path)
-        base = model_path.rsplit("-", 1)[0]
-        if base and base != model_path:
-            cands.append(base)
+        if model_path.endswith(_ENTITY_SUFFIXES):
+            base = model_path.rsplit("-", 1)[0]
+            if base and os.path.exists(base):
+                cands.append(base)
     cands.append("Graphlet-AI/eridu")
     for c in cands:  # pragma: no cover - needs the model artifact
         try:
