@@ -11,14 +11,20 @@ partial-aggregation pattern to token space):
 - ``bigram_topk``  — adjacent-token bigram counts (n-gram LM counts),
   same partial-combine shape, fully vectorized from the Arrow list
   offsets (no per-row Python).
-- ``rarest_term``  — per-document rarest token: document frequencies via
-  one partial-combined groupby, then the DF table is broadcast once
-  (``ray.put``, read in every scoring actor's ``__init__``) and each
-  document resolves its rarest token batch-locally — NO per-pair or
-  per-doc shuffle.  Partitioning assumption: the vocabulary fits in a
-  worker heap (natural-language Zipf vocabularies: ~1e7 entries / ~1 GB
-  at 100 TB corpus scale); beyond that, swap the broadcast for a
-  token-keyed join and a groupby(doc_id) argmin.
+- ``rarest_term``  — per-document rarest token, scale-dispatched on the
+  measured vocabulary size (VERDICT r3 #5):
+  * **broadcast path** (vocabulary ≤ ``broadcast_max_vocab`` rows,
+    default 5M ≈ 10² MB): document frequencies via one partial-combined
+    groupby, then the DF table is broadcast once (``ray.put``, read in
+    every scoring actor's ``__init__``) and each document resolves its
+    rarest token batch-locally — NO per-doc shuffle.  Natural-language
+    Zipf vocabularies stay under this even at 100 TB corpus scale.
+  * **join path** (vocabulary above the cap — e.g. token spaces with
+    embedded ids): (doc_id, token, tf) triples join the DF table on
+    token (exchange ∝ corpus triples, never a driver materialization),
+    then a pid(doc_id) shuffle + one vectorized per-partition argmin.
+  Both paths share the argmin kernel and are oracle-identical (gated by
+  a parametrized test that forces each path).
 - ``redact_numbers`` — vectorized RE2 redaction (digit runs -> '#') with
   per-doc match counts; pyarrow and DuckDB both run RE2, so the oracle
   comparison is byte-exact.
@@ -119,6 +125,20 @@ def _doc_token_tf(b: pa.Table):
     return tf["d"].to_numpy(), tf["t"].to_numpy(), tf["tf"].to_numpy()
 
 
+def _rarest_pick(doc: np.ndarray, t: np.ndarray, tf: np.ndarray,
+                 df: np.ndarray) -> np.ndarray:
+    """Indices of each doc's rarest token by (df asc, tf desc, token asc);
+    lexsort keys are applied last-key-primary.  Shared by both paths."""
+    order = np.lexsort((t, -tf, df, doc))
+    d_sorted = doc[order]
+    first = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+    return order[first]
+
+
+_RAREST_SCHEMA = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                            ("tf", pa.int64()), ("df", pa.int64())])
+
+
 class _RarestTermScorer:
     """Actor: resolves each doc's rarest token against the broadcast DF
     map (ray.get once per actor in __init__, not per batch)."""
@@ -134,18 +154,10 @@ class _RarestTermScorer:
         import pandas as pd
 
         if b.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "token": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64()),
-                             "df": pa.array([], pa.int64())})
+            return _RAREST_SCHEMA.empty_table()
         d, t, tf = _doc_token_tf(b)
         df = pd.Series(t).map(self.df_map).to_numpy(dtype=np.int64)
-        # per-doc argmin by (df asc, tf desc, token asc): lexsort keys are
-        # applied last-key-primary
-        order = np.lexsort((t, -tf, df, d))
-        d_sorted = d[order]
-        first = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
-        pick = order[first]
+        pick = _rarest_pick(d, t, tf, df)
         doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[d[pick]]
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -154,10 +166,35 @@ class _RarestTermScorer:
             "df": pa.array(df[pick])})
 
 
-def q_rarest_term(sf_dir: str):
+def rarest_term_path(vocab_rows: int, broadcast_max_vocab: int) -> str:
+    """Path selection (unit-tested): 'broadcast' while the DF table fits a
+    worker heap, 'join' beyond it."""
+    return "broadcast" if vocab_rows <= broadcast_max_vocab else "join"
+
+
+#: broadcast-path cap on DF-table rows (~10² MB of token/df pairs);
+#: natural-language Zipf vocabularies stay far below this at any corpus
+#: size — only id-bearing token spaces exceed it
+BROADCAST_MAX_VOCAB = 5_000_000
+
+
+def q_rarest_term(sf_dir: str, concurrency=None, num_partitions=None,
+                  broadcast_max_vocab: int = BROADCAST_MAX_VOCAB):
     """Per-document rarest token (min document frequency; ties by max tf
-    then token asc) — DF groupby + broadcast lookup, no doc-level shuffle."""
+    then token asc), scale-dispatched on the measured vocabulary size —
+    see the module docstring for the two paths."""
     import ray
+
+    if concurrency is None or num_partitions is None:
+        from eridu_ray.config import DEFAULT_CONFIG
+
+        if concurrency is None:
+            # actor-pool size follows the flagship scorer's config knob
+            # (the r3 hard-coded (1, 4) capped the pool at 4 actors
+            # regardless of cluster size — VERDICT r3 #4)
+            concurrency = DEFAULT_CONFIG.scorer_concurrency
+        if num_partitions is None:
+            num_partitions = DEFAULT_CONFIG.num_partitions
 
     ds = _rp(sf_dir, ["doc_id", "text"])
 
@@ -166,23 +203,66 @@ def q_rarest_term(sf_dir: str):
         # per-doc-distinct within the batch already; count docs per token
         return _partial_counts_batch(pa.array(t, pa.string()), "token")
 
-    df_table = pa.table({
-        "token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    # vocabulary-sized DF table: materialized once so the row count and
+    # the downstream consumer don't re-execute the aggregation
     rows = (ds.map_batches(df_partial, batch_format="pyarrow")
             .groupby("token").sum("n")
-            .rename_columns({"sum(n)": "df"}))
-    # vocabulary-size table: bounded by the language, not the corpus
-    # (the broadcast-small-side assumption documented in the module)
-    df_batches = [b for b in rows.iter_batches(batch_format="pyarrow",
-                                               batch_size=1 << 20)]
-    if df_batches:
-        df_table = pa.concat_tables(
-            [pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch)
-             else rb for rb in df_batches])
-    df_ref = ray.put(df_table)
-    return ds.map_batches(
-        _RarestTermScorer, fn_constructor_kwargs={"df_ref": df_ref},
-        batch_format="pyarrow", concurrency=(1, 4))
+            .rename_columns({"sum(n)": "df"})).materialize()
+    vocab_rows = rows.count()
+
+    if rarest_term_path(vocab_rows, broadcast_max_vocab) == "broadcast":
+        df_table = _RAREST_SCHEMA.empty_table().select(["token", "df"])
+        df_batches = list(rows.iter_batches(batch_format="pyarrow",
+                                            batch_size=1 << 20))
+        if df_batches:
+            df_table = pa.concat_tables(
+                [pa.Table.from_batches([rb])
+                 if isinstance(rb, pa.RecordBatch) else rb
+                 for rb in df_batches])
+        df_ref = ray.put(df_table)
+        return ds.map_batches(
+            _RarestTermScorer, fn_constructor_kwargs={"df_ref": df_ref},
+            batch_format="pyarrow", concurrency=concurrency)
+
+    # join path: the DF table exceeds a worker heap — ship (doc, token,
+    # tf) triples through a token-keyed equality join instead, then one
+    # pid(doc_id) shuffle and a vectorized per-partition argmin
+    from eridu_ray.kernels.hashing import splitmix64
+
+    def triples(b: pa.Table) -> pa.Table:
+        d, t, tf = _doc_token_tf(b)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[d]
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "token": pa.array(t, pa.string()),
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    joined = ds.map_batches(triples, batch_format="pyarrow").join(
+        rows, join_type="inner", num_partitions=num_partitions,
+        on=("token",))
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        pid = (splitmix64(doc.astype(np.uint64))
+               % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("pid", pa.array(pid))
+
+    def argmin_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _RAREST_SCHEMA.empty_table()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        t = np.asarray(g["token"].to_pylist(), dtype=object)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        pick = _rarest_pick(doc, t, tf, df)
+        return pa.table({
+            "doc_id": pa.array(doc[pick], pa.int64()),
+            "token": pa.array(list(t[pick]), pa.string()),
+            "tf": pa.array(tf[pick].astype(np.int64)),
+            "df": pa.array(df[pick].astype(np.int64))})
+
+    return (joined.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(argmin_part, batch_format="pyarrow"))
 
 
 def q_redact_numbers(sf_dir: str):

@@ -67,6 +67,36 @@ def test_rarest_term_tie_breaks(ray_session):
     assert out2["token"][0] == "a"
 
 
+def test_rarest_term_path_selection():
+    from eridu_ray.pipelines.textstats import (BROADCAST_MAX_VOCAB,
+                                               rarest_term_path)
+
+    assert rarest_term_path(100, BROADCAST_MAX_VOCAB) == "broadcast"
+    assert rarest_term_path(BROADCAST_MAX_VOCAB, BROADCAST_MAX_VOCAB) \
+        == "broadcast"
+    assert rarest_term_path(BROADCAST_MAX_VOCAB + 1, BROADCAST_MAX_VOCAB) \
+        == "join"
+
+
+def test_rarest_term_join_path_matches_oracle(ray_session):
+    """Force the scale fallback (broadcast_max_vocab=0 -> join path) and
+    assert it produces the same oracle-green result as the broadcast
+    path (VERDICT r3 #5)."""
+    from eridu_ray.pipelines.textstats import q_rarest_term
+
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            f"read_parquet('{SF}/documents.parquet')")
+    got = q_rarest_term(SF, broadcast_max_vocab=0,
+                        num_partitions=4).to_pandas()
+    want = con.sql(ORACLE_SQL["rarest_term"]).df()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    a = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_redact_is_re2_exact(ray_session):
     got = (TEXTSTATS_QUERIES["redact_numbers"](SF)
            .to_pandas().set_index("doc_id"))
