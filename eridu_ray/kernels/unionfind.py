@@ -55,8 +55,6 @@ def components_from_edges(node_a, node_b):
     """
     import numpy as np
 
-    import numpy as np
-
     node_a = np.asarray(node_a, dtype=np.int64)
     node_b = np.asarray(node_b, dtype=np.int64)
     nodes = np.unique(np.concatenate([node_a, node_b]))

@@ -332,8 +332,16 @@ def _singleton_label_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
-    """Join texts for sub-threshold winnow candidates, verify LCS length."""
+def _span_join(span_cands, signatures, cfg: PipelineConfig):
+    """Texts joined onto sub-threshold winnow candidates, evenly split.
+
+    The trailing even repartition bounds per-task rows of the (per-pair
+    Python) LCS stage at ceil(n_pairs / num_partitions): the text joins
+    hash-partition on node ids, so a pathological flood of winnow-tagged
+    pairs sharing one hot document would otherwise land in ONE join
+    output block and serialize the whole LCS pass in a single task
+    (VERDICT r3 #7).  The span-candidate set is junk-guard-bounded, so
+    the split is cheap relative to the two joins."""
     texts = signatures.select_columns(["node_id", "text"])
     a_side = texts.rename_columns({"text": "text_a", "node_id": "ta_key"})
     b_side = texts.rename_columns({"text": "text_b", "node_id": "tb_key"})
@@ -345,6 +353,12 @@ def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
               .join(b_side, join_type="inner",
                     num_partitions=cfg.num_partitions,
                     on=("node_b",), right_on=("tb_key",)))
+    return joined.repartition(cfg.num_partitions)
+
+
+def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
+    """Join texts for sub-threshold winnow candidates, verify LCS length."""
+    joined = _span_join(span_cands, signatures, cfg)
 
     min_span = cfg.min_shared_span
 

@@ -142,19 +142,24 @@ def connected_components_auto(edges, cfg: PipelineConfig,
 
     import numpy as np
 
-    from eridu_ray.kernels.unionfind import UnionFind
+    from eridu_ray.kernels.unionfind import components_from_edges
 
-    uf = UnionFind()
+    # vectorized numpy CC (same kernel as the flagship's driver path —
+    # the r3 per-edge Python uf.union loop is gone, VERDICT r3 #6);
+    # identical min-node labels by construction, gated by the existing
+    # path-equivalence tests
+    a_parts, b_parts = [], []
     for b in edges.select_columns(["node_a", "node_b"]).iter_batches(
             batch_format="pyarrow", batch_size=262144):
-        for a_, b_ in zip(b["node_a"].to_numpy(zero_copy_only=False),
-                          b["node_b"].to_numpy(zero_copy_only=False)):
-            uf.union(int(a_), int(b_))
-    comp = uf.components()
+        a_parts.append(b["node_a"].to_numpy(zero_copy_only=False))
+        b_parts.append(b["node_b"].to_numpy(zero_copy_only=False))
+    node_a = (np.concatenate(a_parts) if a_parts
+              else np.array([], dtype=np.int64))
+    node_b = (np.concatenate(b_parts) if b_parts
+              else np.array([], dtype=np.int64))
+    nodes, labels = components_from_edges(node_a, node_b)
     import ray.data
 
-    nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
-    labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "label": pa.array(labels)}))
 

@@ -214,6 +214,57 @@ def test_repetitive_span_pair_survives_guard():
     assert labels["component"].nunique() == 4
 
 
+def test_span_verify_flood_is_bounded_per_task():
+    """A pathological flood of winnow-tagged candidates sharing ONE hot
+    document must not serialize the per-pair LCS pass in a single task:
+    _span_join's even repartition bounds per-block rows at
+    ~ceil(n_pairs / num_partitions) (VERDICT r3 #7), and the span
+    outputs are unchanged vs the kernel applied per pair."""
+    import math
+
+    import ray.data as rd
+
+    from eridu_ray.kernels.shingle import shared_run_length
+    from eridu_ray.pipelines.dedup import _span_join, _verify_spans
+
+    cfg = PipelineConfig(num_partitions=8)
+    n_pairs = 600
+    span = ("shared-span " * 25).strip()          # 299 chars >= 200
+    sigs = pa.table({
+        "node_id": pa.array(range(n_pairs + 1), pa.int64()),
+        "text": [span + " hot-tail"] + [
+            f"{span} unique-{i}-" + f"pad{i} " * 8
+            for i in range(1, n_pairs + 1)],
+    })
+    cands = pa.table({
+        "node_a": pa.array([0] * n_pairs, pa.int64()),
+        "node_b": pa.array(range(1, n_pairs + 1), pa.int64()),
+        "url_a": pa.array(["u00000"] * n_pairs),
+        "url_b": pa.array([f"u{i:05d}" for i in range(1, n_pairs + 1)]),
+        "src": pa.array(["winnow"] * n_pairs),
+        "jaccard": pa.array([0.0] * n_pairs, pa.float64()),
+    })
+    joined = _span_join(rd.from_arrow(cands), rd.from_arrow(sigs), cfg)
+    # batch_size=None => one batch per block: per-task row bound is the
+    # max block size after the even repartition
+    block_rows = [r["n"] for r in joined.map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow", batch_size=None).take_all()]
+    assert sum(block_rows) == n_pairs
+    assert max(block_rows) <= math.ceil(n_pairs / cfg.num_partitions) + 1
+
+    out = _verify_spans(rd.from_arrow(cands), rd.from_arrow(sigs),
+                        cfg).to_pandas()
+    assert len(out) == n_pairs                    # every pair truly spans
+    assert (out.span_len >= cfg.min_shared_span).all()
+    assert (out.url_a <= out.url_b).all()         # canonical orientation
+    want = shared_run_length(span + " hot-tail",
+                             f"{span} unique-1-" + "pad1 " * 8,
+                             min_len=cfg.min_shared_span)
+    got1 = out.set_index("node_b").loc[1, "span_len"]
+    assert got1 == want
+
+
 def test_duplicate_free_corpus_all_singletons():
     """A corpus with ZERO duplicate pairs must flow through the default
     driver-CC label path (n_edges=0 <= cc_driver_max_edges) and label
