@@ -5,6 +5,9 @@ Usage:
     python bench.py                  # one JSON line on stdout
     python bench.py --scaling        # fresh-process runs at 8 and 32 CPUs
                                      # (the sandbox proxy for N vs 4N nodes)
+    python bench.py --cc             # distributed-CC regime: synthetic
+                                     # high-diameter graph + flagship with
+                                     # cc_driver_max_edges=0
 
 Env:
     GRAFT_SF_DIR       input tables dir   (default /root/testdata/sf0.1)
@@ -151,6 +154,98 @@ def _steal_fraction(s0, s1):
     return round((s1[0] - s0[0]) / (s1[1] - s0[1]), 4)
 
 
+def run_cc_bench() -> dict:
+    """Distributed-CC regime timed at bench scale (VERDICT r3 #3).
+
+    The flagship bench always lands in the driver-CC regime (verified
+    edges << cc_driver_max_edges), so the label-propagation path that
+    carries the 10^12-doc story is timed here directly: a synthetic
+    high-diameter edge set (ERIDU_CC_CHAINS chains x ERIDU_CC_CHAIN_LEN
+    nodes; the worst case for round count) through label_propagation,
+    plus the flagship's own components stage forced distributed
+    (cc_driver_max_edges=0) on the default bench corpus for the in-situ
+    number.  Reports rounds + wall; the round count has a regression
+    guard in tests/test_components.py."""
+    import logging
+
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="error",
+                 log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.sources.synth import synthesize_pages_ray
+    from eridu_ray.stages.components import label_propagation
+
+    n_chains = int(os.environ.get("ERIDU_CC_CHAINS", "2000"))
+    chain_len = int(os.environ.get("ERIDU_CC_CHAIN_LEN", "1000"))
+    ids = np.arange(n_chains * chain_len, dtype=np.int64)
+    grid = ids.reshape(n_chains, chain_len)
+    a, b = grid[:, :-1].reshape(-1), grid[:, 1:].reshape(-1)
+    edges = rd.from_arrow(pa.table({
+        "node_a": pa.array(a), "node_b": pa.array(b)})).materialize()
+    cfg = PipelineConfig(
+        num_partitions=min(16, max(4, NUM_CPUS // 2)),
+        cc_partitions=min(8, max(2, NUM_CPUS // 4)),
+        max_cc_rounds=24)
+    # same push-based shuffle scope as the flagship bench (the wide
+    # iterative DAG hits the sort fallback's queued-input stalls)
+    from ray.data.context import ShuffleStrategy
+    ctx = rd.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    rounds = []
+    steal0 = _read_steal()
+    t0 = time.perf_counter()
+    try:
+        labels = label_propagation(
+            edges, cfg, on_round=lambda i, ds, s: rounds.append(i))
+        n_labeled = labels.count()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+    cc_wall = time.perf_counter() - t0
+    n_components = (labels.select_columns(["label"])
+                    .groupby("label").count().count())
+    assert n_labeled == ids.size and n_components == n_chains, (
+        n_labeled, n_components)
+
+    # in-situ: flagship components stage forced through the distributed
+    # path on the standard bench corpus (compare against the default
+    # bench's sec.components for the driver-CC regime)
+    info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT,
+                                fatten=FAT)
+    dist_cfg = PipelineConfig(
+        num_partitions=cfg.num_partitions, cc_partitions=cfg.cc_partitions,
+        cc_driver_max_edges=0)
+    res = run_dedup(rd.read_parquet(info["pages"],
+                                    override_num_blocks=NUM_CPUS * 2),
+                    dist_cfg)
+    res.labels.count()
+    return {
+        "metric": "distributed_cc_sec",
+        "value": round(cc_wall, 3),
+        "unit": "sec",
+        "rounds": len(rounds),
+        "edges": int(a.size),
+        "nodes": int(ids.size),
+        "components": int(n_components),
+        "diameter": chain_len - 1,
+        "num_cpus": NUM_CPUS,
+        "steal_frac": _steal_fraction(steal0, _read_steal()),
+        "flagship_components_sec_distributed":
+            res.counters.get("sec.components"),
+        "flagship_edges": res.edges.count(),
+    }
+
+
 def run_scaling() -> dict:
     import subprocess
 
@@ -273,6 +368,11 @@ if __name__ == "__main__":
     try:
         if "--scaling" in sys.argv:
             result = run_scaling()
+        elif "--cc" in sys.argv:
+            result = run_cc_bench()
+            import ray
+
+            ray.shutdown()
         else:
             result = run_bench()
             import ray

@@ -153,13 +153,18 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # Python overhead is paid ~128 times instead of once per bucket
     # (measured 3-4x on the candidate stage — most buckets are singletons)
     nb = cfg.bucket_partitions
+    # pair_pid_buckets: the cross-branch dedup pid is emitted at pair
+    # creation, so the three-way union feeds its groupby directly — no
+    # separate add_pair_pid pass over the pre-dedup pair rows (the
+    # largest intermediate; VERDICT r3 #8 free fusion)
     minhash_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: band_explode(b),
                              batch_format="pyarrow",
                              batch_size=None), "band_key", nb)
         .groupby("pid")
         .map_groups(cand.make_partition_pairs_fn(
-            "band_key", cfg.band_group_cap, "minhash", est_min=est_min),
+            "band_key", cfg.band_group_cap, "minhash", est_min=est_min,
+            pair_pid_buckets=nb),
             batch_format="pyarrow"))
     simhash_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: sim_explode(b),
@@ -168,7 +173,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         .groupby("pid")
         .map_groups(cand.make_partition_pairs_fn(
             "chunk_key", cfg.band_group_cap, "simhash", est_min=est_min,
-            with_simhash=True, max_hamming=cfg.simhash_max_hamming),
+            with_simhash=True, max_hamming=cfg.simhash_max_hamming,
+            pair_pid_buckets=nb),
             batch_format="pyarrow"))
     winnow_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: win_explode(b),
@@ -176,11 +182,11 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
                              batch_size=None), "fp_key", nb)
         .groupby("pid")
         .map_groups(cand.make_partition_pairs_fn(
-            "fp_key", cfg.winnow_group_cap, "winnow"),
+            "fp_key", cfg.winnow_group_cap, "winnow",
+            pair_pid_buckets=nb),
             batch_format="pyarrow"))
 
-    all_cands = (cand.add_pair_pid(
-        minhash_cands.union(simhash_cands).union(winnow_cands), nb)
+    all_cands = (minhash_cands.union(simhash_cands).union(winnow_cands)
         .groupby("pid")
         .map_groups(cand.make_dedup_pairs_partition_fn(
             winnow_min_hits=cfg.winnow_min_hits,

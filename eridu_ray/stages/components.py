@@ -10,6 +10,14 @@ join + groupby-min rounds until fixpoint (SURVEY.md §7.1 SHUFFLE #4..#4+k):
         labels' = (labels UNION msgs).groupby(node).min(label)
     until sum(label) unchanged   # labels only decrease -> monotone fixpoint
 
+The per-node min (and the distinct-node init) run as
+``groupby(pid(node)).map_groups`` with a vectorized lexsort/run kernel
+per partition — the same group-count-amortization pattern as the
+candidate stages.  A direct ``groupby(node).min(label)`` pays Ray's
+sort-based aggregate over millions of DISTINCT keys per round: measured
+127 s vs 10-13 s for the pid form on a 2M-node / 4M-edge graph at 32
+CPUs (round-4 profiling; init 169 s -> 2.5-6 s).
+
 Each round's labels are materialized (iterative algorithms must cut the
 lazy lineage or round k re-executes rounds 1..k-1).  Label ids are
 non-negative int64 node hashes, so canonical component id = min node id is
@@ -44,15 +52,49 @@ def _bidirect(edges):
     return fwd.union(rev)
 
 
+def _add_node_pid(ds, col: str, num_pid: int):
+    """pid = splitmix64(node) % num_pid (equal node -> equal pid)."""
+    import numpy as np
+
+    from eridu_ray.kernels.hashing import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(k) % np.uint64(num_pid)).astype(np.int32)
+        return b.append_column("pid", pa.array(pid))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _part_distinct_label(g: pa.Table) -> pa.Table:
+    """Partition kernel: distinct nodes, label = own node id."""
+    import numpy as np
+
+    node = np.unique(g["node"].to_numpy(zero_copy_only=False))
+    return pa.table({"node": pa.array(node, pa.int64()),
+                     "label": pa.array(node, pa.int64())})
+
+
+def _part_min_label(g: pa.Table) -> pa.Table:
+    """Partition kernel: per-node min label (lexsort + run firsts)."""
+    import numpy as np
+
+    node = g["node"].to_numpy(zero_copy_only=False)
+    lab = g["label"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lab, node))
+    n_s, l_s = node[order], lab[order]
+    first = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+    return pa.table({"node": pa.array(n_s[first], pa.int64()),
+                     "label": pa.array(l_s[first], pa.int64())})
+
+
 def _init_labels(edges_bidir, cfg: PipelineConfig):
     """One label row per distinct edge endpoint, label = own node id."""
     nodes = edges_bidir.select_columns(["src"]).rename_columns(
-        {"src": "node"}).groupby("node").count().drop_columns(["count()"])
-
-    def add_label(batch: pa.Table) -> pa.Table:
-        return batch.append_column("label", batch["node"])
-
-    return nodes.map_batches(add_label, batch_format="pyarrow")
+        {"src": "node"})
+    return (_add_node_pid(nodes, "node", cfg.bucket_partitions)
+            .groupby("pid")
+            .map_groups(_part_distinct_label, batch_format="pyarrow"))
 
 
 def label_propagation(edges, cfg: PipelineConfig,
@@ -93,8 +135,13 @@ def label_propagation(edges, cfg: PipelineConfig,
                 .select_columns(["dst", "label"])
                 .rename_columns({"dst": "node"}))
         merged = labels.select_columns(["node", "label"]).union(msgs)
-        l1 = merged.groupby("node").min("label").rename_columns(
-            {"min(label)": "label"})
+        # materialized: l1 feeds BOTH sides of the jump self-join below —
+        # unmaterialized, each round executed the propagate-aggregate
+        # twice (lazy lineage duplicated into both join inputs)
+        l1 = (_add_node_pid(merged, "node", cfg.bucket_partitions)
+              .groupby("pid")
+              .map_groups(_part_min_label, batch_format="pyarrow")
+              .materialize())
         # pointer jumping: label <- label(label).  Every label value is a
         # node id present in l1 (labels are mins over node ids), so the
         # inner self-join is total.  Turns diameter-many rounds into
@@ -173,13 +220,26 @@ def relabel_by_min_url(labels_with_urls, cfg: PipelineConfig):
     (tens of thousands of groups = tens of thousands of interpreter
     calls under map_groups).
     """
-    from ray.data.aggregate import Count, Min
+    def _part_minurl_count(g: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    per_label = (labels_with_urls.groupby("label")
-                 .aggregate(Min("url"), Count())
-                 .rename_columns({"min(url)": "component",
-                                  "count()": "component_size",
-                                  "label": "label_key"}))
+        df = pd.DataFrame({"label_key": g["label"].to_numpy(
+            zero_copy_only=False), "url": g["url"].to_pandas()})
+        agg = (df.groupby("label_key", sort=False)["url"]
+               .agg(["min", "size"]).reset_index())
+        return pa.table({"label_key": pa.array(agg["label_key"],
+                                               pa.int64()),
+                         "component": pa.array(agg["min"], pa.string()),
+                         "component_size": pa.array(
+                             agg["size"].astype("int64"))})
+
+    # per-label min url + size via pid-bucketed map_groups (labels are
+    # distinct per component — a direct groupby(label).aggregate pays the
+    # sort-based aggregate over #components keys; see module docstring)
+    per_label = (_add_node_pid(labels_with_urls.select_columns(
+        ["label", "url"]), "label", cfg.bucket_partitions)
+        .groupby("pid")
+        .map_groups(_part_minurl_count, batch_format="pyarrow"))
     joined = labels_with_urls.join(
         per_label, join_type="inner", num_partitions=cfg.cc_partitions,
         on=("label",), right_on=("label_key",))

@@ -50,13 +50,32 @@ class ImageDecoder:
             self._decode = self._decode_fake
         elif decoder == "bmp":
             self._decode = self._decode_bmp
-        elif decoder == "pil":  # pragma: no cover - not in this container
-            raise NotImplementedError(
-                "PIL/pillow is not installed in this environment; "
-                "use decoder='bmp' for uncompressed BMP, decoder='fake' "
-                "for plumbing tests, or install pillow")
+        elif decoder == "pil":
+            # real library path: used automatically when pillow exists
+            # (tests/test_real_deps.py skipif-gates it), honestly dep-gated
+            # otherwise
+            try:  # pragma: no cover - pillow absent in this container
+                from PIL import Image  # noqa: F401
+            except Exception as exc:
+                raise NotImplementedError(
+                    "PIL/pillow is not installed in this environment; "
+                    "use decoder='bmp' for uncompressed BMP, decoder='fake' "
+                    "for plumbing tests, or install pillow") from exc
+            self._decode = self._decode_pil  # pragma: no cover
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _decode_pil(self, payload: bytes):  # pragma: no cover - needs pillow
+        import io
+
+        from PIL import Image
+
+        from eridu_ray.kernels.codecs import thumbnail_gray
+
+        px = np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8)
+        return (px.shape[1], px.shape[0], px.shape[2],
+                thumbnail_gray(px, self.THUMB))
 
     def _decode_bmp(self, payload: bytes):
         from eridu_ray.kernels.codecs import decode_bmp, thumbnail_gray
