@@ -28,6 +28,15 @@ partial-aggregation pattern to token space):
 - ``redact_numbers`` — vectorized RE2 redaction (digit runs -> '#') with
   per-doc match counts; pyarrow and DuckDB both run RE2, so the oracle
   comparison is byte-exact.
+- ``length_percentiles`` — EXACT per-group order statistics
+  (p50/p90/p99 of document char length per lang, ``percentile_disc``
+  semantics) without a global sort: per-batch (lang, length) histogram
+  partials combine before one pid(lang) shuffle, then each partition
+  resolves its langs' percentiles from the merged histogram cumsum.
+  The exchange is proportional to langs × distinct lengths (value
+  domain), never the corpus — the shape that replaces
+  ``sort().limit()``-style quantiles at 100 TB.  Exactness holds for
+  any discrete measure; continuous measures would bucket first.
 """
 
 from __future__ import annotations
@@ -265,6 +274,88 @@ def q_rarest_term(sf_dir: str, concurrency=None, num_partitions=None,
             .map_groups(argmin_part, batch_format="pyarrow"))
 
 
+#: (quantile, output column) pairs for length_percentiles; quantiles
+#: stay IEEE doubles so the ceil(q*n) rank matches DuckDB's
+#: percentile_disc bit-for-bit (both sides compute the same product)
+PCTL_QS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def _pctl_partition(g: pa.Table) -> pa.Table:
+    """Partition kernel: per-lang percentile_disc from histogram partials.
+
+    The group holds EVERY (lang, length, n) partial for its langs (pid is
+    a function of lang alone), so merging partials and walking the cumsum
+    is partition-local and exact.  percentile_disc(q) = the value whose
+    1-indexed rank in the sorted multiset is ceil(q*n) — verified against
+    DuckDB across n in {1..1000} including the 0.99*100 float edge."""
+    import math
+
+    import pandas as pd
+
+    if g.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         **{c: pa.array([], pa.int64())
+                            for _, c in PCTL_QS},
+                         "n_docs": pa.array([], pa.int64())})
+    df = (pd.DataFrame({"lang": g["lang"].to_pandas(),
+                        "v": g["v"].to_numpy(zero_copy_only=False),
+                        "n": g["n"].to_numpy(zero_copy_only=False)})
+          .groupby(["lang", "v"], sort=True)["n"].sum().reset_index())
+    out = {"lang": [], **{c: [] for _, c in PCTL_QS}, "n_docs": []}
+    # loop is over GROUPS in this partition (langs), not rows
+    for lang, sub in df.groupby("lang", sort=False):
+        vals = sub["v"].to_numpy()            # sorted asc by the groupby
+        cum = sub["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        out["lang"].append(lang)
+        out["n_docs"].append(total)
+        for q, col in PCTL_QS:
+            rank = min(max(math.ceil(q * total), 1), total)
+            out[col].append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                     **{c: pa.array(out[c], pa.int64())
+                        for _, c in PCTL_QS},
+                     "n_docs": pa.array(out["n_docs"], pa.int64())})
+
+
+def q_length_percentiles(sf_dir: str, num_pid: int | None = None):
+    """Exact per-lang p50/p90/p99 of char length (percentile_disc).
+
+    Histogram partial-combine inside map_batches, ONE pid(lang) shuffle
+    whose payload is bounded by langs × distinct lengths, percentiles
+    resolved partition-locally — no global sort, no driver collect."""
+    if num_pid is None:
+        from eridu_ray.config import DEFAULT_CONFIG
+
+        num_pid = DEFAULT_CONFIG.num_partitions
+    from eridu_ray.kernels.hashing import hash_strings_u64
+
+    ds = _rp(sf_dir, ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = (pd.DataFrame({
+                "lang": b["lang"].to_pandas(),
+                "v": pc.utf8_length(b["text"]).to_numpy(
+                    zero_copy_only=False).astype(np.int64)})
+             .groupby(["lang", "v"], sort=False).size()
+             .reset_index(name="n"))
+        # pid from lang alone (seed-stable blake2b, NOT Python hash() —
+        # worker processes differ in PYTHONHASHSEED) so every partial of
+        # a lang lands in one partition
+        hsh = hash_strings_u64(list(h["lang"]))
+        return pa.table({
+            "lang": pa.array(h["lang"], pa.string()),
+            "v": pa.array(h["v"].to_numpy(), pa.int64()),
+            "n": pa.array(h["n"].to_numpy().astype(np.int64)),
+            "pid": pa.array((hsh % np.uint64(num_pid)).astype(np.int32))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(_pctl_partition, batch_format="pyarrow"))
+
+
 def q_redact_numbers(sf_dir: str):
     """Digit-run redaction with per-doc match counts (RE2 both sides)."""
     ds = _rp(sf_dir, ["doc_id", "text"])
@@ -284,6 +375,7 @@ TEXTSTATS_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "rarest_term": q_rarest_term,
     "redact_numbers": q_redact_numbers,
+    "length_percentiles": q_length_percentiles,
 }
 
 ORACLE_SQL = {
@@ -314,4 +406,13 @@ ORACLE_SQL = {
         "SELECT doc_id, "
         "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_nums, "
         "regexp_replace(text, '[0-9]+', '#', 'g') AS red FROM documents"),
+    "length_percentiles": (
+        "SELECT lang, "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text))"
+        "::BIGINT AS p50, "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text))"
+        "::BIGINT AS p90, "
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY length(text))"
+        "::BIGINT AS p99, "
+        "count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"),
 }

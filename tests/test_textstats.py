@@ -111,6 +111,56 @@ def test_redact_is_re2_exact(ray_session):
         assert got.loc[r.doc_id, "n_nums"] == len(pat.findall(r.text))
 
 
+def test_pctl_kernel_merges_partials_and_matches_duckdb():
+    """The partition kernel must merge duplicate (lang, v) histogram
+    partials before the cumsum walk, and its rank rule must equal
+    DuckDB's percentile_disc on adversarial sizes (n=1, ties, n where
+    q*n is a float edge)."""
+    from eridu_ray.pipelines.textstats import PCTL_QS, _pctl_partition
+
+    # lang 'a': values 1..100 split into two partial rows per value;
+    # lang 'b': single doc of length 7; lang 'c': all-equal lengths
+    langs, vs, ns = [], [], []
+    for v in range(1, 101):
+        langs += ["a", "a"]
+        vs += [v, v]
+        ns += [1, 1]          # merged: n=2 per value, total 200
+    langs += ["b", "c", "c"]
+    vs += [7, 5, 5]
+    ns += [1, 3, 2]
+    g = pa.table({"lang": pa.array(langs), "v": pa.array(vs, pa.int64()),
+                  "n": pa.array(ns, pa.int64())})
+    got = _pctl_partition(g).to_pandas().set_index("lang")
+    con = duckdb.connect()
+    rows = [("a", v) for v in range(1, 101) for _ in range(2)] \
+        + [("b", 7)] + [("c", 5)] * 5
+    con.sql("create table t (lang varchar, v bigint)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = con.sql(
+        "SELECT lang, "
+        + ", ".join(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY v)::BIGINT "
+            f"AS {c}" for q, c in PCTL_QS)
+        + ", count(*)::BIGINT AS n_docs FROM t GROUP BY lang"
+    ).df().set_index("lang")
+    for lang in ("a", "b", "c"):
+        for _, c in PCTL_QS:
+            assert got.loc[lang, c] == want.loc[lang, c], (lang, c)
+        assert got.loc[lang, "n_docs"] == want.loc[lang, "n_docs"]
+
+
+def test_length_percentiles_width_independent(ray_session):
+    """Identical results at shuffle widths 1 and 7 (pid is a pure
+    function of lang; the kernel is partition-local)."""
+    from eridu_ray.pipelines.textstats import q_length_percentiles
+
+    a = (q_length_percentiles(SF, num_pid=1).to_pandas()
+         .sort_values("lang").reset_index(drop=True))
+    b = (q_length_percentiles(SF, num_pid=7).to_pandas()
+         .sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_vocab_topk_partial_combine_shrinks(ray_session):
     """The per-batch partial must emit <= distinct tokens, not one row per
     token occurrence (the pre-shuffle combiner the module promises)."""
