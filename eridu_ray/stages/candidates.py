@@ -21,6 +21,9 @@ import pyarrow as pa
 from eridu_ray.config import PipelineConfig
 from eridu_ray.kernels.minhash import band_keys
 from eridu_ray.kernels.simhash import hamming_u64, simhash_chunks
+from eridu_ray.kernels.mem import ensure_malloc_pool
+
+ensure_malloc_pool()
 from eridu_ray.stages.signatures import list_col_to_matrix
 
 _PAIR_SCHEMA = pa.schema([

@@ -37,6 +37,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
+from eridu_ray.kernels.mem import ensure_malloc_pool
+
+ensure_malloc_pool()
 
 
 def _bidirect(edges):
@@ -116,12 +119,22 @@ def label_propagation(edges, cfg: PipelineConfig,
              "label": pa.array([], pa.int64())}))
     labels = _init_labels(edges_bidir, cfg).materialize()
 
+    def _part_sum(b: pa.Table) -> pa.Table:
+        # per-batch wrapped partial: sum mod 2^64 is associative, so
+        # combining block partials on the driver is exact
+        s = pc.sum(b["label"]).as_py()
+        return pa.table({"s": pa.array([0 if s is None else s], pa.int64())})
+
     def wrapped_sum(ds) -> int:
-        # int64 wrapping sum of the label column (see module docstring)
+        # int64 wrapping sum of the label column (see module docstring),
+        # computed as distributed per-block partials — the driver pulls
+        # ONE int64 per block, not the label table (a plain iter_batches
+        # sum ships O(nodes) to the driver EVERY round, which is the
+        # 10^12-doc regime's entire label volume)
         total = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            s = pc.sum(b["label"]).as_py()
-            if s is not None:
+        for b in ds.map_batches(_part_sum, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            for s in b["s"].to_pylist():
                 total = (total + s) & 0xFFFFFFFFFFFFFFFF
         return total
 

@@ -26,6 +26,9 @@ from eridu_ray.kernels.minhash import minhash_params, minhash_signatures_batch
 from eridu_ray.kernels.shingle import shingle_hashes
 from eridu_ray.kernels.simhash import simhash_batch
 from eridu_ray.kernels.text import extract_text, normalize_text
+from eridu_ray.kernels.mem import ensure_malloc_pool
+
+ensure_malloc_pool()
 
 _ONE = np.uint64(1)
 
