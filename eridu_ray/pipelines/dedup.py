@@ -186,19 +186,26 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             pair_pid_buckets=nb),
             batch_format="pyarrow"))
 
-    all_cands = (minhash_cands.union(simhash_cands).union(winnow_cands)
-        .groupby("pid")
-        .map_groups(cand.make_dedup_pairs_partition_fn(
-            winnow_min_hits=cfg.winnow_min_hits,
-            winnow_est_min=cfg.winnow_est_min),
-            batch_format="pyarrow"))
+    raw_cands = minhash_cands.union(simhash_cands).union(winnow_cands)
 
     # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
         if cfg.verify_strategy == "reduce":
+            # cross-band pair dedup FUSED into verify pass 1 (node_a
+            # groups co-locate every copy of a pair) — the standalone
+            # pair-pid sort over the pre-dedup pair set (the flagship's
+            # largest intermediate) disappears from the DAG
             return verify_pairs_reduce(
-                all_cands, signatures, cfg,
-                keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard)
+                raw_cands, signatures, cfg,
+                keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
+                dedup_winnow_min_hits=cfg.winnow_min_hits,
+                dedup_winnow_est_min=cfg.winnow_est_min)
+        all_cands = (raw_cands
+            .groupby("pid")
+            .map_groups(cand.make_dedup_pairs_partition_fn(
+                winnow_min_hits=cfg.winnow_min_hits,
+                winnow_est_min=cfg.winnow_est_min),
+                batch_format="pyarrow"))
         with_sets = attach_shingles(all_cands, signatures, cfg,
                                     attach_urls=True)
         return with_sets.map_batches(

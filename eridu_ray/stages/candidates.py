@@ -822,72 +822,87 @@ def make_dedup_pairs_partition_fn(winnow_min_hits: int = 1,
     "winnow", so starred pairs pass through.
     """
     def fn(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        a = g["node_a"].to_numpy(zero_copy_only=False)
-        b = g["node_b"].to_numpy(zero_copy_only=False)
-        n = a.shape[0]
-        if n == 0:
-            return empty_slim_pairs()
-        order = np.lexsort((b, a))
-        a_s, b_s = a[order], b[order]
-        new_run = np.concatenate(
-            [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
-        starts = np.nonzero(new_run)[0]
-        ends = np.concatenate([starts[1:], [n]])
-        lens = ends - starts
-        is_winnow = pc.equal(g["src"], "winnow").to_numpy(
-            zero_copy_only=False)
-        est_np = g["est"].to_numpy(zero_copy_only=False).astype(np.float64)
-        singles = starts[lens == 1]
-        parts = []
-        if singles.size:
-            keep = order[singles]
-            if winnow_min_hits > 1:
-                # lone winnow hit: junk unless the sketch estimate says
-                # the pair may reach the borderline window
-                rescued = est_np[keep] >= winnow_est_min  # NaN -> False
-                keep = keep[~is_winnow[keep] | rescued]
-            if keep.size:
-                parts.append(g.take(pa.array(keep)))
-        multi = np.nonzero(lens >= 2)[0]
-        if multi.size:
-            srcs = g["src"].to_pylist()
-            na, nb, ms, me = [], [], [], []
-            for r in multi:
-                s, e = int(starts[r]), int(ends[r])
-                rows = order[s:e]
-                tags = set()
-                whits = 0
-                best = None
-                for i in rows:
-                    tags.update(srcs[i].split(","))
-                    if is_winnow[i]:
-                        whits += 1
-                    v = est_np[i]
-                    if v == v and (best is None or v > best):
-                        best = v
-                if (tags == {"winnow"} and whits < winnow_min_hits
-                        and not (best is not None
-                                 and best >= winnow_est_min)):
-                    continue
-                first = int(rows[0])
-                na.append(a[first])
-                nb.append(b[first])
-                ms.append(",".join(sorted(tags)))
-                me.append(best)
-            if na:
-                parts.append(pa.Table.from_arrays(
-                    [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
-                     pa.array(ms, pa.string()),
-                     pa.array(me, pa.float64())],
-                    schema=_SLIM_PAIR_SCHEMA))
-        if not parts:
-            return empty_slim_pairs()
-        return pa.concat_tables(
-            [p.select(_SLIM_PAIR_SCHEMA.names) for p in parts])
+        return dedup_slim_pairs(g, winnow_min_hits, winnow_est_min)
 
     return fn
+
+
+def dedup_slim_pairs(g: pa.Table, winnow_min_hits: int = 1,
+                     winnow_est_min: float = 0.0) -> pa.Table:
+    """Cross-band (node_a, node_b) pair dedup over ONE table slice.
+
+    Correct wherever every copy of a pair is present in the slice —
+    a pair-pid partition (make_dedup_pairs_partition_fn) or a verify
+    pass-1 node_a group (all copies of (a, b) share node_a, so the
+    node_a-keyed shuffle already co-locates them; verify_pairs_reduce
+    fuses this in to skip the separate pair-pid sort over the pre-dedup
+    pair set, the flagship's largest intermediate).
+    """
+    import pyarrow.compute as pc
+
+    a = g["node_a"].to_numpy(zero_copy_only=False)
+    b = g["node_b"].to_numpy(zero_copy_only=False)
+    n = a.shape[0]
+    if n == 0:
+        return empty_slim_pairs()
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new_run = np.concatenate(
+        [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    lens = ends - starts
+    is_winnow = pc.equal(g["src"], "winnow").to_numpy(
+        zero_copy_only=False)
+    est_np = g["est"].to_numpy(zero_copy_only=False).astype(np.float64)
+    singles = starts[lens == 1]
+    parts = []
+    if singles.size:
+        keep = order[singles]
+        if winnow_min_hits > 1:
+            # lone winnow hit: junk unless the sketch estimate says
+            # the pair may reach the borderline window
+            rescued = est_np[keep] >= winnow_est_min  # NaN -> False
+            keep = keep[~is_winnow[keep] | rescued]
+        if keep.size:
+            parts.append(g.take(pa.array(keep)))
+    multi = np.nonzero(lens >= 2)[0]
+    if multi.size:
+        srcs = g["src"].to_pylist()
+        na, nb, ms, me = [], [], [], []
+        for r in multi:
+            s, e = int(starts[r]), int(ends[r])
+            rows = order[s:e]
+            tags = set()
+            whits = 0
+            best = None
+            for i in rows:
+                tags.update(srcs[i].split(","))
+                if is_winnow[i]:
+                    whits += 1
+                v = est_np[i]
+                if v == v and (best is None or v > best):
+                    best = v
+            if (tags == {"winnow"} and whits < winnow_min_hits
+                    and not (best is not None
+                             and best >= winnow_est_min)):
+                continue
+            first = int(rows[0])
+            na.append(a[first])
+            nb.append(b[first])
+            ms.append(",".join(sorted(tags)))
+            me.append(best)
+        if na:
+            parts.append(pa.Table.from_arrays(
+                [pa.array(na, pa.int64()), pa.array(nb, pa.int64()),
+                 pa.array(ms, pa.string()),
+                 pa.array(me, pa.float64())],
+                schema=_SLIM_PAIR_SCHEMA))
+    if not parts:
+        return empty_slim_pairs()
+    return pa.concat_tables(
+        [p.select(_SLIM_PAIR_SCHEMA.names) for p in parts])
+
 
 
 def add_pair_pid(ds, num_buckets: int):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from eridu_ray.config import PipelineConfig
 from eridu_ray.kernels.mem import ensure_malloc_pool
@@ -172,7 +173,9 @@ def _sig_side(signatures, column: str):
 def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
                         keep_lo: float | None = None,
                         keep_hi: float | None = None,
-                        column: str = "shingles"):
+                        column: str = "shingles",
+                        dedup_winnow_min_hits: int | None = None,
+                        dedup_winnow_est_min: float = 0.0):
     """pairs + signatures -> verified pairs with exact 'jaccard'.
 
     Pass 1: union(sig rows keyed node_id, pair rows keyed node_a) ->
@@ -184,8 +187,16 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
     vectorized equal-key run detection inside — per-group Python
     overhead is paid ~hundreds of times, not once per corpus node.
     Output schema matches attach_shingles + jaccard_batch.
+
+    ``dedup_winnow_min_hits`` not None means ``candidates`` is the RAW
+    pre-dedup branch union: the cross-band (node_a, node_b) dedup runs
+    inside each pass-1 group (every copy of a pair shares node_a, so the
+    node_a-keyed shuffle already co-locates them — identical decisions
+    to the standalone pair-pid pass), saving one full sort over the
+    pre-dedup pair set, the flagship's largest intermediate.
     """
     from eridu_ray.kernels.hashing import splitmix64
+    from eridu_ray.stages.candidates import dedup_slim_pairs
 
     nb = cfg.bucket_partitions
 
@@ -223,6 +234,24 @@ def verify_pairs_reduce(candidates, signatures, cfg: PipelineConfig,
         return order, starts[live], ends[live]
 
     def attach_a(g: pa.Table) -> pa.Table:
+        if dedup_winnow_min_hits is not None:
+            # fused cross-band dedup: rebuild the group's pair rows from
+            # the deduped slim set (see docstring); sig rows pass through
+            kind_np = g["kind"].to_numpy(zero_copy_only=False)
+            mask = pa.array(kind_np == 0)
+            sig_rows = g.filter(mask).select(
+                [f.name for f in _P1_SCHEMA])
+            slim = dedup_slim_pairs(g.filter(pc.invert(mask)),
+                                    dedup_winnow_min_hits,
+                                    dedup_winnow_est_min)
+            m = slim.num_rows
+            pair_rows = pa.Table.from_arrays(
+                [slim["node_a"], pa.array(np.ones(m, np.int8)),
+                 pa.nulls(m, pa.binary()), pa.nulls(m, pa.string()),
+                 slim["node_a"], slim["node_b"], slim["src"],
+                 slim["est"]],
+                schema=_P1_SCHEMA)
+            g = pa.concat_tables([sig_rows, pair_rows])
         order, starts, ends = _runs(g)
         if starts.size == 0:
             return _P1_OUT_SCHEMA.empty_table()
