@@ -287,3 +287,14 @@ def test_verify_set32_projection():
     empty = np.empty(0, dtype=np.uint32)
     assert shingle.jaccard32(empty, empty) == 1.0
     assert shingle.jaccard32(a32, empty) == 0.0
+
+
+def test_malloc_pool_applied_and_idempotent():
+    """ensure_malloc_pool must report success on glibc (this container)
+    and stay True on repeat calls — the verify/candidate kernels rely on
+    it to keep large scratch on the reusable heap (BASELINE.md round-4
+    scaling section)."""
+    from eridu_ray.kernels.mem import ensure_malloc_pool
+
+    assert ensure_malloc_pool() is True
+    assert ensure_malloc_pool() is True
