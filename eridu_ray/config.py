@@ -86,13 +86,29 @@ class PipelineConfig:
     bucket_partitions: int = 128  # pid buckets for partitioned pair
                                 # emission (group-count amortization);
                                 # layout knob, excluded from config_hash
-    verify_strategy: str = "reduce"  # "reduce" = union+sort-groupby join
+    verify_strategy: str = "auto"  # "auto" = broadcast when the verify
+                                # blob table fits the per-node budget
+                                # below, else reduce;
+                                # "reduce" = union+sort-groupby join
                                 # with fused Jaccard (no join-aggregator
                                 # actors, blob shipped once per node);
+                                # "broadcast" = blob index ray.put once,
+                                # dedup+verify fused into the single
+                                # pair-pid groupby (small regime: both
+                                # verify shuffle passes vanish);
                                 # "acero" = two hash joins + jaccard map.
                                 # Layout knob: results are identical
                                 # (asserted in tests), so it is excluded
                                 # from config_hash.
+    verify_broadcast_max_bytes: int = 1 << 32  # "auto" takes the
+                                # broadcast verify path while the
+                                # uint32 verify-blob table is <= this
+                                # (4 GB: shipped ONCE per node via the
+                                # object store, zero-copy to every
+                                # worker on it — a small slice of a
+                                # 128 GB node).  The 10^12-doc regime
+                                # exceeds it by ~3 orders of magnitude
+                                # -> reduce path.
     cc_partitions: int = 8      # CC-round joins: label tables are far
                                 # smaller than the corpus; fewer partitions
                                 # = fewer aggregator actors per round
@@ -121,7 +137,7 @@ class PipelineConfig:
         for k in ("batch_size", "scorer_batch_size", "scorer_concurrency",
                   "num_partitions", "cc_partitions", "cc_driver_max_edges",
                   "checkpoint_dir", "verify_strategy",
-                  "bucket_partitions"):
+                  "verify_broadcast_max_bytes", "bucket_partitions"):
             d.pop(k)
         d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()

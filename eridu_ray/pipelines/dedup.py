@@ -8,8 +8,11 @@
       reps ─ WinnowExploder  ─ groupby(pid(fp_key))   ─► span cands
         (each bucket carries a byte sketch; pairs below the borderline
          estimate die at emission — the verify-traffic prefilter)
-      ∪ cands ─ groupby(pid(a,b)) dedup ─ reduce-side verify join ×2
-        (fused exact Jaccard; blob ships once per node)       [checkpoint]
+      ∪ cands ─ groupby(pid(a,b)) dedup ─ verify            [checkpoint]
+        (scale-dispatched: blob index broadcast once + fused dedup/Jaccard
+         in the pair-pid groupby while the blob table fits the per-node
+         budget; reduce-side verify join ×2 — blob ships once per node —
+         above it)
       dup edges (J >= t) ∪ exact edges ∪ scorer edges ─► edges [checkpoint]
         (borderline J ∈ [lo, t) pairs scored by the actor-pool scorer)
       span candidates (J < t) ─ join text ×2 ─ LCS ─► span_edges
@@ -37,6 +40,7 @@ from eridu_ray.stages.components import (connected_components_auto,
 from eridu_ray.stages.scorer import PairScorer
 from eridu_ray.stages.signatures import SignatureStage
 from eridu_ray.stages.verify import (attach_shingles, jaccard_batch,
+                                     verify_pairs_broadcast,
                                      verify_pairs_reduce)
 from eridu_ray.state.checkpoint import CheckpointManager
 
@@ -190,7 +194,27 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
 
     # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
-        if cfg.verify_strategy == "reduce":
+        strategy = cfg.verify_strategy
+        if strategy == "auto":
+            # dispatch on an upper bound of the verify-blob bytes
+            # (4 B/element; n_shingles >= len(32-bit verify set)): one
+            # narrow-column scan over the materialized signature table.
+            # Below the per-node broadcast budget the blob index ships
+            # once via ray.put and verify needs ZERO shuffles; above it
+            # (the 10^12-doc regime) the reduce join runs as before.
+            total = signatures.select_columns(
+                ["n_shingles"]).sum("n_shingles") or 0
+            strategy = ("broadcast"
+                        if total * 4 <= cfg.verify_broadcast_max_bytes
+                        else "reduce")
+        ckpt.counters["verify_strategy"] = strategy
+        if strategy == "broadcast":
+            return verify_pairs_broadcast(
+                raw_cands, signatures, cfg,
+                keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
+                dedup_winnow_min_hits=cfg.winnow_min_hits,
+                dedup_winnow_est_min=cfg.winnow_est_min)
+        if strategy == "reduce":
             # cross-band pair dedup FUSED into verify pass 1 (node_a
             # groups co-locate every copy of a pair) — the standalone
             # pair-pid sort over the pre-dedup pair set (the flagship's

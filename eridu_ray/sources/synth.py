@@ -258,9 +258,10 @@ def synthesize_pages_ray(sf_dir: str, out_dir: str, cfg: PipelineConfig,
     (each replica re-ciphered per its new doc_id -> independent corpus
     mass) so benchmarks can scale input volume deterministically.
     ``fatten`` appends ``fatten * len(doc)`` deterministic filler tokens
-    (unique-per-doc splitmix64 hex tokens — ZERO cross-doc shingle
-    overlap, so padding adds payload bytes without adding candidate
-    pairs) BEFORE variant expansion: the driver testdata
+    (unique-per-doc splitmix64 hex tokens — negligible cross-doc
+    shingle overlap, ~n²/2⁴⁰ collision odds, so padding adds payload
+    bytes without materially adding candidate pairs) BEFORE variant
+    expansion: the driver testdata
     documents average ~0.7 KB while real Common-Crawl extracted text runs
     1-3 KB, and benchmark scaling behavior depends on per-doc payload.
     No ground truth is computed — use :func:`synthesize_corpus` for

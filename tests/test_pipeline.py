@@ -150,12 +150,17 @@ def test_scorer_stage_is_load_bearing(corpus, result):
 
 
 def test_verify_strategies_identical(corpus, result):
-    """The reduce-side fused verify join must produce byte-identical
-    labels to the Acero two-join path (layout knob, not semantics)."""
+    """All verify strategies produce byte-identical labels (layout knob,
+    not semantics).  The module default is "auto", which resolves to
+    BROADCAST on this small corpus; the reduce path (the 10^12-doc
+    regime) is additionally compared on the full verified pair table —
+    jaccard doubles, merged src tags, est, and retained borderline
+    blobs must all be bit-identical."""
     import ray.data as rd
 
     cfg, pages, _, _ = corpus
-    _, labels, _ = result
+    res, labels, _ = result
+    assert res.counters.get("verify_strategy") == "broadcast"
     # num_partitions=2: Acero join aggregator actors reserve whole CPUs
     # and livelock beside the scorer actor pool on the 4-CPU test session
     # (the round-1 measured pitfall the reduce strategy exists to avoid)
@@ -166,6 +171,41 @@ def test_verify_strategies_identical(corpus, result):
         drop=True)
     lb = labels.sort_values("url").reset_index(drop=True)
     assert la.equals(lb)
+
+    res_reduce = run_dedup(rd.from_arrow(pages),
+                           PipelineConfig(num_partitions=4,
+                                          verify_strategy="reduce"))
+    assert res_reduce.counters.get("verify_strategy") == "reduce"
+    lr = res_reduce.labels.to_pandas().sort_values("url").reset_index(
+        drop=True)
+    assert lr.equals(lb)
+    vb = res.verified.to_pandas().sort_values(
+        ["node_a", "node_b"]).reset_index(drop=True)
+    vr = res_reduce.verified.to_pandas().sort_values(
+        ["node_a", "node_b"]).reset_index(drop=True)
+    assert len(vb) == len(vr)
+    for col in ("node_a", "node_b", "url_a", "url_b", "src", "jaccard"):
+        assert vb[col].equals(vr[col]), col
+    assert ((vb["est"] == vr["est"])
+            | (vb["est"].isna() & vr["est"].isna())).all()
+    assert vb["sh_a"].isna().equals(vr["sh_a"].isna())
+    kept = ~vb["sh_a"].isna()
+    assert kept.any(), "no borderline blobs retained — window untested"
+    assert all(x == y for x, y in zip(vb["sh_a"][kept], vr["sh_a"][kept]))
+    assert all(x == y for x, y in zip(vb["sh_b"][kept], vr["sh_b"][kept]))
+
+
+def test_verify_auto_dispatch_honors_budget(corpus):
+    """"auto" must fall back to the reduce join the moment the blob
+    table exceeds the per-node broadcast budget (the 10^12-doc regime);
+    labels stay identical either way."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    res = run_dedup(rd.from_arrow(pages),
+                    PipelineConfig(num_partitions=4,
+                                   verify_broadcast_max_bytes=0))
+    assert res.counters.get("verify_strategy") == "reduce"
 
 
 def test_driver_and_distributed_label_paths_identical(corpus, result):
