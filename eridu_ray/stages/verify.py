@@ -92,6 +92,23 @@ def _batched_jaccard(blobs_a: list, blobs_b: list) -> np.ndarray:
         b"".join(b for b in blobs_a if b is not None), dtype=np.uint32)
     cat_b = np.frombuffer(
         b"".join(b for b in blobs_b if b is not None), dtype=np.uint32)
+    inter = _tagged_intersections(cat_a, sz_a, cat_b, sz_b)
+    union = sz_a + sz_b - inter
+    # both-empty rows: union == 0 -> Jaccard defined as 1.0
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def _tagged_intersections(cat_a: np.ndarray, sz_a: np.ndarray,
+                          cat_b: np.ndarray, sz_b: np.ndarray) -> np.ndarray:
+    """Per-row set-intersection sizes of concatenated sorted uint32 rows.
+
+    The shared sort-merge core of the reduce and broadcast verify paths:
+    elements are tagged with the row id in the high 32 bits, so the
+    concatenated b-side key array is globally sorted and ONE
+    ``np.searchsorted`` answers every per-row membership test; per-row
+    counts fall out of a cumsum over the hit mask.
+    """
+    n = sz_a.size
     row_ids = np.arange(n, dtype=np.uint64) << np.uint64(32)
     a_keys = cat_a.astype(np.uint64) | np.repeat(row_ids, sz_a)
     b_keys = cat_b.astype(np.uint64) | np.repeat(row_ids, sz_b)
@@ -103,10 +120,7 @@ def _batched_jaccard(blobs_a: list, blobs_b: list) -> np.ndarray:
         hits = np.zeros(a_keys.size, dtype=bool)
     cs = np.concatenate([[0], np.cumsum(hits)])
     offs = np.concatenate([[0], np.cumsum(sz_a)])
-    inter = cs[offs[1:]] - cs[offs[:-1]]
-    union = sz_a + sz_b - inter
-    # both-empty rows: union == 0 -> Jaccard defined as 1.0
-    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return cs[offs[1:]] - cs[offs[:-1]]
 
 
 def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
@@ -395,9 +409,31 @@ def _get_blob_index(ref):
     val = _BLOB_INDEX_CACHE.get(key)
     if val is None:
         _BLOB_INDEX_CACHE.clear()
-        val = ray.get(ref)
+        nodes, row_of, offs, data, urls = ray.get(ref)
+        # uint32 view computed ONCE per fetch: plasma buffers are
+        # 64-byte aligned and every blob length is a multiple of 4, so
+        # the zero-copy view holds; fall back to one copy otherwise
+        # (defensive — never hit in practice).
+        payload = data[:int(offs[-1])] if offs.size else data[:0]
+        if payload.ctypes.data % 4:
+            payload = payload.copy()
+        du = payload.view(np.uint32)
+        val = (nodes, row_of, offs >> 2, du, urls)
         _BLOB_INDEX_CACHE[key] = val
     return val
+
+
+def _range_gather(starts: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Index array concatenating ``[starts[i], starts[i]+sizes[i])`` runs.
+
+    The vectorized multi-range gather: one arange minus the repeated
+    run-relative base plus the repeated absolute start.
+    """
+    total = int(sizes.sum())
+    ends = np.cumsum(sizes)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(ends - sizes, sizes)
+            + np.repeat(starts, sizes))
 
 
 def build_blob_index(signatures, column: str = "shingles"):
@@ -440,6 +476,10 @@ def build_blob_index(signatures, column: str = "shingles"):
         col.offset: col.offset + len(col) + 1].copy()
     data = (np.frombuffer(data_buf, dtype=np.uint8)
             if data_buf is not None else np.empty(0, np.uint8))
+    # every blob is a uint32-LE set (length % 4 == 0), so every offset is
+    # 4-aligned — the consumer's zero-copy uint32 view depends on it
+    if offs.size and ((offs[0] & 3) or (np.diff(offs) & 3).any()):
+        raise ValueError("verify blob offsets are not 4-aligned")
     nodes_raw = tab["node_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(nodes_raw, kind="stable")
     urls = np.asarray(tab["url"].to_pylist(), dtype=object)
@@ -478,7 +518,7 @@ def verify_pairs_broadcast(candidates, signatures, cfg: PipelineConfig,
         m = slim.num_rows
         if m == 0:
             return _VERIFIED_SCHEMA.empty_table()
-        nodes, row_of, offs, data, urls = _get_blob_index(index_ref)
+        nodes, row_of, offs4, du, urls = _get_blob_index(index_ref)
         na = slim["node_a"].to_numpy(zero_copy_only=False)
         nb = slim["node_b"].to_numpy(zero_copy_only=False)
         if nodes.size:
@@ -501,27 +541,21 @@ def verify_pairs_broadcast(candidates, signatures, cfg: PipelineConfig,
                 return _VERIFIED_SCHEMA.empty_table()
         ia = row_of[ia]  # sorted position -> physical row
         ib = row_of[ib]
-        inter = np.empty(m, np.int64)
-        sz_a = np.empty(m, np.int64)
-        sz_b = np.empty(m, np.int64)
-        for k in range(m):
-            sa = data[offs[ia[k]]:offs[ia[k] + 1]].view(np.uint32)
-            sb = data[offs[ib[k]]:offs[ib[k] + 1]].view(np.uint32)
-            sz_a[k] = sa.size
-            sz_b[k] = sb.size
-            if sa.size and sb.size:
-                pos = np.searchsorted(sb, sa)
-                np.clip(pos, 0, sb.size - 1, out=pos)
-                inter[k] = int((sb[pos] == sa).sum())
-            else:
-                inter[k] = 0
+        # one vectorized gather per side + the shared tagged sort-merge
+        # core (no per-pair Python loop; bit-identical to the reduce
+        # path's _batched_jaccard, which calls the same core)
+        st_a, sz_a = offs4[ia], offs4[ia + 1] - offs4[ia]
+        st_b, sz_b = offs4[ib], offs4[ib + 1] - offs4[ib]
+        cat_a = du[_range_gather(st_a, sz_a)]
+        cat_b = du[_range_gather(st_b, sz_b)]
+        inter = _tagged_intersections(cat_a, sz_a, cat_b, sz_b)
         union = sz_a + sz_b - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = (np.zeros(m, dtype=bool) if keep_lo is None
                 else (jac >= keep_lo) & (jac < keep_hi))
-        kept_a = [data[offs[ia[k]]:offs[ia[k] + 1]].tobytes()
+        kept_a = [du[st_a[k]:st_a[k] + sz_a[k]].tobytes()
                   if keep[k] else None for k in range(m)]
-        kept_b = [data[offs[ib[k]]:offs[ib[k] + 1]].tobytes()
+        kept_b = [du[st_b[k]:st_b[k] + sz_b[k]].tobytes()
                   if keep[k] else None for k in range(m)]
         return pa.Table.from_arrays(
             [slim["node_a"], slim["node_b"],
