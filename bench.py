@@ -58,7 +58,13 @@ def run_bench() -> dict:
     # hang outright in ray 2.49 — so shuffle width caps at CPUS/2
     cfg = PipelineConfig(
         num_partitions=min(16, max(4, NUM_CPUS // 2)),
-        cc_partitions=min(8, max(2, NUM_CPUS // 4)))
+        cc_partitions=min(8, max(2, NUM_CPUS // 4)),
+        # ERIDU_VERIFY_STRATEGY pins the verify layout (reduce/broadcast/
+        # acero); default "auto" budget-dispatches.  --scaling pins
+        # "reduce" — the 100 TB path (the broadcast budget is exceeded by
+        # ~3 orders there) — so the efficiency quotient compares the SAME
+        # algorithm at both levels; results are identical either way.
+        verify_strategy=os.environ.get("ERIDU_VERIFY_STRATEGY", "auto"))
 
     # fixture generation + page-cache warm-up are untimed
     info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT,
@@ -260,6 +266,14 @@ def run_scaling() -> dict:
         # runs single-shot or the sample count compounds to 4 per level
         if "ERIDU_BENCH_BEST_OF" not in os.environ:
             env["ERIDU_BENCH_BEST_OF"] = "1"
+        # scale-path strategy at BOTH levels: the quotient is only
+        # meaningful same-algorithm-same-config (the adaptive default
+        # would pick broadcast here, which trades wide-level wall for a
+        # 1.7x narrow-level win — measured 8-cpu 212->125 s vs 32-cpu
+        # 64.6->75.4 s at 158k pages — collapsing the quotient while
+        # IMPROVING absolute throughput; BASELINE.md round-4 notes)
+        if "ERIDU_VERIFY_STRATEGY" not in os.environ:
+            env["ERIDU_VERIFY_STRATEGY"] = "reduce"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -85,19 +85,14 @@ def q_project_compute_cast(sf_dir):
 
 # --- grouped aggregates (A2-A11) ------------------------------------------
 
-def q_groupby_count(sf_dir):
-    """A2 (and A8 value_counts, eridu/etl/analyze.py:19 — same groupby-
-    count op, r3 query ``value_counts`` collapsed into this one):
-    groupBy(col).count() (eridu/etl/report.py:45)."""
-    return (_rp(sf_dir, "events", ["event_type"])
-            .groupby("event_type").count()
-            .rename_columns({"count()": "n"}))
-
-
 def q_multikey_count(sf_dir):
     """A3 (and A4 language-pair counts, eridu/etl/report.py:68-71 — same
     multi-key grouped count, r3 ``langpair_count`` collapsed into this
-    one): multi-key grouped count (eridu/etl/report.py:50-64)."""
+    one; A2/A8 single-key groupBy(col).count() / value_counts,
+    eridu/etl/report.py:45 + analyze.py:19, collapsed here in r4 — the
+    k=1 case of the same exchange, also exercised by ``window_hourly``'s
+    event_type×win count): multi-key grouped count
+    (eridu/etl/report.py:50-64)."""
     return (_rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
             .groupby(["l_returnflag", "l_linestatus"]).count()
             .rename_columns({"count()": "n"}))
@@ -244,6 +239,31 @@ def q_top_k(sf_dir):
             .limit(10))
 
 
+def q_grouped_topk(sf_dir):
+    """O9 (beyond-reference): per-group top-k (window-rank head) — the
+    3 largest documents per language, ties broken by doc_id.  Scale
+    pattern: a per-batch partial top-k caps every map task's output at
+    k rows per group, so the exchange carries k × |groups| × blocks
+    rows — not the corpus — before the single grouped reduce applies
+    the same kernel once per group."""
+    k = 3
+    ds = _rp(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        t = b.sort_by([("lang", "ascending"), ("n_chars", "descending"),
+                       ("doc_id", "ascending")])
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        if langs.size == 0:
+            return t
+        starts = np.r_[0, np.flatnonzero(langs[1:] != langs[:-1]) + 1]
+        runs = np.diff(np.r_[starts, langs.size])
+        rank = np.arange(langs.size) - np.repeat(starts, runs)
+        return t.take(pa.array(np.flatnonzero(rank < k)))
+
+    return (ds.map_batches(topk, batch_format="pyarrow")
+            .groupby("lang").map_groups(topk, batch_format="pyarrow"))
+
+
 def q_sample_hash(sf_dir):
     """O5 made deterministic: hash-mod sample (pandas .sample with a seed
     is engine-specific; the scalable seeded equivalent is a hash bucket —
@@ -294,18 +314,12 @@ def q_exact_dedup(sf_dir):
                                          batch_format="pyarrow")
 
 
-def q_distinct_vals(sf_dir):
-    """D3: unique() (eridu/etl/disco.py:43).  Also gates A5 distinct-count
-    (eridu/etl/report.py:100 — the count is this result's row count; the
-    r3 standalone ``distinct_count`` collapsed into this one,
-    VERDICT r3 #1)."""
-    return (_rp(sf_dir, "documents", ["lang"]).groupby("lang").count()
-            .drop_columns(["count()"]))
-
-
 def q_union_distinct(sf_dir):
     """D4/J4: vertical union then distinct (disco.py:43,
-    cluster_split.py:375)."""
+    cluster_split.py:375).  Also gates D3 unique() and A5 distinct-count
+    (eridu/etl/report.py:100) — the r3/r4 standalone ``distinct_count``/
+    ``distinct_vals`` collapsed into this one (same groupby-distinct
+    exchange; the distinct count is this result's row count)."""
     o = (_rp(sf_dir, "orders", ["o_custkey"])
          .rename_columns({"o_custkey": "key"}))
     c = (_rp(sf_dir, "customer", ["c_custkey"])
@@ -329,6 +343,22 @@ def q_semi_join(sf_dir):
         return b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
 
     return li.map_batches(f, batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir):
+    """J5 (beyond-reference): anti-join — customers with no orders, via
+    Ray Data's native hash-partitioned ``left_anti`` join.  This is the
+    scale path (both sides exchange on the key, no driver collect),
+    deliberately contrasting ``q_semi_join``'s broadcast-key-set variant:
+    at 100 TB the orders key set no longer fits a broadcast, the
+    partitioned anti/semi join is what remains.  The right side is
+    filtered to high-value orders so the result is non-vacuous at every
+    sf (in this testdata every customer has at least one order)."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    okeys = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000.0").select_columns(["o_custkey"])
+    return cust.join(okeys, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
 
 
 def q_join_agg(sf_dir):
@@ -555,7 +585,6 @@ def build_queries() -> dict:
         "filter_conj_disj": q_filter_conj_disj,
         "filter_tokens": q_filter_tokens,
         "project_compute_cast": q_project_compute_cast,
-        "groupby_count": q_groupby_count,
         "multikey_count": q_multikey_count,
         "dup_patterns": q_dup_patterns,
         "grouped_multi_agg": q_grouped_multi_agg,
@@ -565,9 +594,10 @@ def build_queries() -> dict:
         "sample_hash": q_sample_hash,
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
-        "distinct_vals": q_distinct_vals,
         "union_distinct": q_union_distinct,
         "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "grouped_topk": q_grouped_topk,
         "join_agg": q_join_agg,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
@@ -593,8 +623,6 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_id AS eid, CAST(round(value * 1100) AS BIGINT) "
         "AS value_with_tax_milli, (value >= 100.0)::DOUBLE AS label "
         "FROM events"),
-    "groupby_count": (
-        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"),
     "multikey_count": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
         "GROUP BY l_returnflag, l_linestatus"),
@@ -636,7 +664,6 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, text, lang, source, n_chars FROM ("
         "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn "
         "FROM documents) WHERE rn = 1"),
-    "distinct_vals": "SELECT DISTINCT lang FROM documents",
     "union_distinct": (
         "SELECT o_custkey AS key FROM orders "
         "UNION SELECT c_custkey AS key FROM customer"),
@@ -644,6 +671,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
         "WHERE l_orderkey IN "
         "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)"),
+    "anti_join": (
+        "SELECT c_custkey, c_nationkey FROM customer "
+        "WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"),
+    "grouped_topk": (
+        "SELECT lang, doc_id, n_chars FROM ("
+        "SELECT lang, doc_id, n_chars, row_number() OVER ("
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+        "FROM documents) t WHERE rn <= 3"),
     "join_agg": (
         "SELECT n_name, count(*) AS n, "
         "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_price_cents "
