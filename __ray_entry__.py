@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs = dict(build_queries())
     qs["dedup_flagship"] = _q_dedup_flagship
+    qs["dedup_incremental"] = _q_dedup_incremental
 
     # CSV source/sink round-trips (S3/S8/S9; oracle-paired)
     from eridu_ray.sources import csv_io
@@ -149,6 +150,33 @@ def _q_dedup_flagship(sf_dir: str) -> Any:
     cfg = PipelineConfig(num_partitions=8)
     info = synthesize_corpus(sf_dir, "/tmp/eridu_cache", cfg)
     return run_dedup(rd.read_parquet(info["pages"]), cfg).labels
+
+
+def _q_dedup_incremental(sf_dir: str) -> Any:
+    """Incremental dedup (pipelines/incremental.py): the synthesized
+    corpus is split in half by url hash, the first half deduped from
+    scratch, the second folded in incrementally; returns the combined
+    labels (rows-only check — byte-equality with the full rerun is
+    gated in tests/test_incremental.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.kernels.hashing import hash_strings_u64
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.pipelines.incremental import run_dedup_incremental
+    from eridu_ray.sources.synth import synthesize_corpus
+
+    cfg = PipelineConfig(num_partitions=8)
+    info = synthesize_corpus(sf_dir, "/tmp/eridu_cache", cfg)
+    pages = pq.read_table(info["pages"])
+    mask = (hash_strings_u64(pages["url"].to_pylist(), seed=7)
+            % np.uint64(2)).astype(bool)
+    prior = run_dedup(rd.from_arrow(pages.filter(pa.array(~mask))), cfg)
+    return run_dedup_incremental(
+        rd.from_arrow(pages.filter(pa.array(mask))), prior, cfg).labels
 
 
 def oracle_sql() -> dict[str, str]:

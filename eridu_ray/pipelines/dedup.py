@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 from eridu_ray.config import PipelineConfig
@@ -66,7 +67,9 @@ def compute_signatures(pages, cfg: PipelineConfig):
 
 
 def run_dedup(pages, cfg: PipelineConfig | None = None,
-              use_scorer_edges: bool | None = None) -> DedupResult:
+              use_scorer_edges: bool | None = None, *,
+              signatures_override=None, skip_pairs_both_in=None,
+              extra_edges=None) -> DedupResult:
     """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
 
     With ``cfg.checkpoint_dir`` set, signatures / verified / edges / labels
@@ -79,6 +82,15 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     rebinds the config — the flag is semantic and participates in
     ``config_hash()``, so checkpoints written under one setting are never
     silently resumed under the other.
+
+    The keyword-only hooks exist for :func:`run_dedup_incremental`
+    (pipelines/incremental.py) and require ``cfg.checkpoint_dir is None``
+    (the stage-lineage fingerprint has no meaning for a composed input):
+    ``signatures_override`` replaces the signature stage (``pages`` may
+    then be None), ``skip_pairs_both_in`` (sorted int64 node ids) drops
+    candidate pairs whose BOTH endpoints are listed before any blob is
+    attached or scored, and ``extra_edges`` unions a pre-existing edge
+    set (prior-component star edges) into the CC input.
     """
     import time as _time
 
@@ -88,8 +100,14 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     if use_scorer_edges is not None and \
             use_scorer_edges != cfg.use_scorer_edges:
         cfg = _dc_replace(cfg, use_scorer_edges=use_scorer_edges)
-    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.config_hash(),
-                             input_fingerprint=_input_fingerprint(pages))
+    if (signatures_override is not None or skip_pairs_both_in is not None
+            or extra_edges is not None):
+        assert cfg.checkpoint_dir is None, \
+            "incremental hooks run un-checkpointed (v1)"
+    ckpt = CheckpointManager(
+        cfg.checkpoint_dir, cfg.config_hash(),
+        input_fingerprint=(_input_fingerprint(pages)
+                           if pages is not None else "signatures-override"))
     _t = _time.perf_counter()
 
     def _mark(name: str) -> None:
@@ -98,9 +116,12 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         ckpt.counters[f"sec.{name}"] = round(now - _t, 3)
         _t = now
 
-    signatures = ckpt.stage(
-        "signatures", lambda: compute_signatures(pages, cfg),
-        lineage={"input": "pages"})
+    if signatures_override is not None:
+        signatures = signatures_override
+    else:
+        signatures = ckpt.stage(
+            "signatures", lambda: compute_signatures(pages, cfg),
+            lineage={"input": "pages"})
     if cfg.checkpoint_dir is None:
         signatures = signatures.materialize()
     _mark("signatures")
@@ -192,6 +213,31 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
 
     raw_cands = minhash_cands.union(simhash_cands).union(winnow_cands)
 
+    if skip_pairs_both_in is not None:
+        # incremental regime: pairs internal to the PRIOR corpus are
+        # already encoded by its component structure (extra_edges) —
+        # drop them BEFORE any shingle blob is attached or any scorer
+        # runs.  Membership is one searchsorted into a ray.put sorted
+        # id array (8 B/prior-doc, shipped once per node); pair rows
+        # themselves are slim int64s so the pre-filter shuffle cost of
+        # the dropped pairs is the v1 trade documented in
+        # pipelines/incremental.py.
+        import ray as _ray
+
+        _old_ref = _ray.put(np.ascontiguousarray(
+            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
+
+        def _drop_both_prior(b: pa.Table) -> pa.Table:
+            old = _ray.get(_old_ref)
+            keep = ~(_in_sorted(old, b["node_a"].to_numpy(
+                zero_copy_only=False))
+                     & _in_sorted(old, b["node_b"].to_numpy(
+                         zero_copy_only=False)))
+            return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+        raw_cands = raw_cands.map_batches(_drop_both_prior,
+                                          batch_format="pyarrow")
+
     # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
         strategy = cfg.verify_strategy
@@ -264,6 +310,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     edge_parts = [exact_edges, dup_pairs]
     if cfg.use_scorer_edges:
         edge_parts.append(scorer_edges)
+    if extra_edges is not None:
+        edge_parts.append(extra_edges)
     edges_all = edge_parts[0]
     for p in edge_parts[1:]:
         edges_all = edges_all.union(p)
@@ -336,6 +384,15 @@ def _input_fingerprint(pages) -> str:
         return ""
     return hashlib.sha256(
         json.dumps(files).encode()).hexdigest()[:16]
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of vals in a sorted int64 array."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    idx = np.clip(np.searchsorted(sorted_arr, vals), 0,
+                  sorted_arr.size - 1)
+    return sorted_arr[idx] == vals
 
 
 def _exact_edge_batch(batch: pa.Table) -> pa.Table:
@@ -444,7 +501,6 @@ def _labels_via_driver_cc(edges, signatures, cfg: PipelineConfig):
     byte-identical to the distributed join/relabel path (asserted in
     tests/test_components.py and the cross-parallelism pipeline test).
     """
-    import numpy as np
     import ray
 
     from eridu_ray.kernels.unionfind import components_from_edges

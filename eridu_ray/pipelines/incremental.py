@@ -1,0 +1,114 @@
+"""Incremental dedup: fold a NEW batch of pages into an existing dedup
+state without re-verifying the prior corpus against itself.
+
+The daily-crawl regime: a 100 TB corpus is deduped once, then increments
+arrive.  A full rerun re-pays the verify joins (the blob-bandwidth-bound
+stage) and the scorer pool over every prior-internal pair; incrementally,
+those pairs are already summarized by the prior run's component
+structure, so the only NEW information is pairs touching at least one
+new document.
+
+Semantics (provably equal to a full rerun, gated byte-identical in
+tests/test_incremental.py):
+
+1. signatures(new) computed fresh; prior signatures reused as-is
+   (``run_dedup(signatures_override=prior ∪ new)``).
+2. Candidate generation runs over the UNION — exact groups, LSH bands,
+   SimHash chunks and winnow fingerprints must co-bucket old and new
+   docs or cross-batch duplicates are missed.  Pair emission is
+   therefore identical to the full run's.
+3. Pairs whose BOTH endpoints are prior docs are dropped BEFORE verify
+   (``skip_pairs_both_in``: one searchsorted per batch into a ray.put
+   sorted id array).  Their components are re-injected as star edges
+   derived from the prior labels (``extra_edges``): node(url) ↔
+   node(component) for every non-singleton row — by construction these
+   generate exactly the partition the dropped pairs' edges generated,
+   so CC(star ∪ new-edges) == CC(old-edges ∪ new-edges).
+4. CC + canonical min-url labels run as usual over all docs.
+
+What this buys at scale: verify blob attachment, exact-Jaccard compute,
+borderline scoring and span LCS all skip the O(prior²) pair set and pay
+only O(prior × new + new²) — the increment's actual novelty.  The v1
+trades documented here: (a) the explode/bucket candidate shuffles still
+carry the prior reps' slim rows (ids + sketches, no blobs); a v2 would
+checkpoint the band tables and route only new keys into affected
+buckets.  (b) the prior node-id membership array is 8 B/doc ray.put
+once per node — 8 GB per 10⁹ prior docs; beyond per-node heap the
+filter becomes a partitioned anti-join on (node_a, node_b) instead.
+(c) v1 runs un-checkpointed (the stage-lineage fingerprint has no
+meaning for a composed signature input).
+
+New-batch urls must be disjoint from the prior corpus (node ids are
+stable url hashes; a re-crawled url should be dropped or versioned
+upstream, same as the reference's by-url identity, eridu/etl/
+filter.py:51-54).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.pipelines.dedup import (DedupResult, compute_signatures,
+                                       run_dedup)
+
+_ONE = np.uint64(1)
+
+
+def prior_star_edges(labels, cfg: PipelineConfig):
+    """Prior components as star edges: node(url) ↔ node(component url).
+
+    One narrow map over the labels table; singletons (url == component)
+    emit nothing.  Node ids are recomputed with the same seeded url hash
+    the signature stage uses, so they join the new edge set exactly.
+    """
+    from eridu_ray.kernels.hashing import hash_strings_u64
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b["url"], b["component"])))
+        ua = t["url"].to_pylist()
+        ub = t["component"].to_pylist()
+        na = (hash_strings_u64(ua, seed=cfg.seed) >> _ONE).astype(np.int64)
+        nb = (hash_strings_u64(ub, seed=cfg.seed) >> _ONE).astype(np.int64)
+        return pa.table({
+            "node_a": pa.array(na),
+            "node_b": pa.array(nb),
+            "url_a": pa.array(ua, pa.string()),
+            "url_b": pa.array(ub, pa.string()),
+            "src": pa.array(["prior"] * len(ua), pa.string()),
+        })
+
+    return labels.map_batches(f, batch_format="pyarrow")
+
+
+def _collect_node_ids(signatures) -> np.ndarray:
+    """Sorted int64 node ids of a signature table (8 B/doc artifact)."""
+    parts = [b["node_id"].to_numpy(zero_copy_only=False)
+             for b in signatures.select_columns(["node_id"]).iter_batches(
+                 batch_format="pyarrow", batch_size=65536)]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+def run_dedup_incremental(new_pages, prior: DedupResult,
+                          cfg: PipelineConfig | None = None) -> DedupResult:
+    """Dedup ``new_pages`` against (and within) a prior :class:`DedupResult`.
+
+    Returns a full DedupResult over prior ∪ new docs whose ``labels``
+    are byte-identical to a from-scratch ``run_dedup`` over the combined
+    corpus (see module docstring for the argument and
+    tests/test_incremental.py for the gate).
+    """
+    cfg = cfg or PipelineConfig()
+    assert cfg.checkpoint_dir is None, \
+        "incremental v1 runs un-checkpointed (see module docstring)"
+    new_sigs = compute_signatures(new_pages, cfg).materialize()
+    all_sigs = prior.signatures.union(new_sigs).materialize()
+    return run_dedup(
+        None, cfg,
+        signatures_override=all_sigs,
+        skip_pairs_both_in=_collect_node_ids(prior.signatures),
+        extra_edges=prior_star_edges(prior.labels, cfg))

@@ -264,23 +264,13 @@ def q_grouped_topk(sf_dir):
             .groupby("lang").map_groups(topk, batch_format="pyarrow"))
 
 
-def q_sample_hash(sf_dir):
-    """O5 made deterministic: hash-mod sample (pandas .sample with a seed
-    is engine-specific; the scalable seeded equivalent is a hash bucket —
-    also the reference's group-split trick, fine_tune_sbert.py:217-227)."""
-    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
-
-    def f(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        mask = (ids * 2654435761) % 100 < 10
-        return b.filter(pa.array(mask))
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def q_hash_split(sf_dir):
     """O7/O8: deterministic 80/10/10 split by key hash (shuffle-free map;
-    GroupShuffleSplit analog, fine_tune_sbert.py:217-227)."""
+    GroupShuffleSplit analog, fine_tune_sbert.py:217-227).  Also gates
+    O5 seeded sampling — the r4 standalone ``sample_hash`` collapsed
+    into this one: a deterministic hash-mod sample IS the filter of one
+    split bucket (pandas .sample with a seed is engine-specific; the
+    scalable seeded equivalent is a hash bucket)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "source"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -591,7 +581,6 @@ def build_queries() -> dict:
         "score_stats": q_score_stats,
         "confusion_counts": q_confusion_counts,
         "top_k": q_top_k,
-        "sample_hash": q_sample_hash,
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
         "union_distinct": q_union_distinct,
@@ -653,9 +642,6 @@ ORACLE_SQL: dict[str, str] = {
     "top_k": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10"),
-    "sample_hash": (
-        "SELECT doc_id, lang FROM documents "
-        "WHERE doc_id * 2654435761 % 100 < 10"),
     "hash_split": (
         "SELECT doc_id, source, CASE WHEN doc_id % 10 < 8 THEN 'train' "
         "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split "

@@ -1,0 +1,70 @@
+"""Incremental-dedup equivalence gate (pipelines/incremental.py):
+folding one half of the corpus into a prior run over the other half
+must reproduce the from-scratch labels byte-identically — duplicate
+clusters deliberately straddle the prior/new split so cross-batch
+candidate generation, the both-prior pair filter, and the prior star
+edges are all load-bearing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.kernels.hashing import hash_strings_u64
+from eridu_ray.pipelines.dedup import run_dedup
+from eridu_ray.pipelines.incremental import (prior_star_edges,
+                                             run_dedup_incremental)
+from eridu_ray.sources.synth import expand_documents_batch
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    cfg = PipelineConfig(num_partitions=4)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(
+        0, N_DOCS)
+    pages = expand_documents_batch(docs, seed=cfg.seed)
+    # split by url hash: variants of one source doc scatter across
+    # prior/new, so most duplicate pairs cross the batch boundary —
+    # the hard case the incremental path must not miss
+    h = hash_strings_u64(pages["url"].to_pylist(), seed=7)
+    mask = (h % np.uint64(2)).astype(bool)
+    prior_pages = pages.filter(pa.array(~mask))
+    new_pages = pages.filter(pa.array(mask))
+    assert prior_pages.num_rows > 0 and new_pages.num_rows > 0
+    return cfg, pages, prior_pages, new_pages
+
+
+def test_incremental_labels_match_full_rerun(split_corpus):
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    inc = run_dedup_incremental(
+        rd.from_arrow(new_pages), prior, cfg).labels.to_pandas()
+    assert len(inc) == pages.num_rows
+    a = full.sort_values("url").reset_index(drop=True)
+    b = inc.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_prior_star_edges_shape(split_corpus):
+    """Star edges: one edge per non-singleton labels row, node ids equal
+    the signature stage's seeded url hashes, singletons emit nothing."""
+    import ray.data as rd
+
+    cfg, _, prior_pages, _ = split_corpus
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    lab = prior.labels.to_pandas()
+    stars = prior_star_edges(prior.labels, cfg).to_pandas()
+    n_clustered_rows = int((lab["url"] != lab["component"]).sum())
+    assert len(stars) == n_clustered_rows
+    assert set(stars["src"]) <= {"prior"}
+    if len(stars):
+        want = (hash_strings_u64(stars["url_a"].tolist(), seed=cfg.seed)
+                >> np.uint64(1)).astype(np.int64)
+        assert (stars["node_a"].to_numpy() == want).all()
