@@ -8,6 +8,8 @@ Usage:
     python bench.py --cc             # distributed-CC regime: synthetic
                                      # high-diameter graph + flagship with
                                      # cc_driver_max_edges=0
+    python bench.py --incremental    # 10% daily-increment fold vs full
+                                     # from-scratch rerun (incremental.py)
 
 Env:
     GRAFT_SF_DIR       input tables dir   (default /root/testdata/sf0.1)
@@ -252,6 +254,97 @@ def run_cc_bench() -> dict:
     }
 
 
+def run_incremental_bench() -> dict:
+    """Incremental-fold regime (pipelines/incremental.py): dedup a 90%
+    prior corpus (untimed), then time folding the remaining 10% in vs a
+    full from-scratch run over 100% — the daily-crawl increment story.
+    Interleaved best-of-N inc/full pairs share host conditions; reports
+    both min-walls, the speedup ratio, and per-run steal evidence."""
+    import logging
+
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="error",
+                 log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.kernels.hashing import hash_strings_u64
+    from eridu_ray.pipelines.dedup import run_dedup
+    from eridu_ray.pipelines.incremental import run_dedup_incremental
+    from eridu_ray.sources.synth import synthesize_pages_ray
+
+    cfg = PipelineConfig(
+        num_partitions=min(16, max(4, NUM_CPUS // 2)),
+        cc_partitions=min(8, max(2, NUM_CPUS // 4)),
+        verify_strategy=os.environ.get("ERIDU_VERIFY_STRATEGY", "auto"))
+    info = synthesize_pages_ray(SF_DIR, CACHE, cfg, repeat=REPEAT,
+                                fatten=FAT)
+    nblocks = NUM_CPUS * 2
+    base = rd.read_parquet(info["pages"], override_num_blocks=nblocks)
+    n_pages = base.count()
+
+    def _split(want_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            h = hash_strings_u64(b["url"].to_pylist(), seed=7)
+            m = (h % np.uint64(10)) == 0  # 10% "daily increment"
+            return b.filter(pa.array(m if want_new else ~m))
+
+        return base.map_batches(f, batch_format="pyarrow").materialize()
+
+    new_ds = _split(True)
+    prior_ds = _split(False)
+    n_new = new_ds.count()
+
+    from ray.data.context import ShuffleStrategy
+    ctx = rd.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    best_of = int(os.environ.get("ERIDU_BENCH_BEST_OF", "2"))
+    inc_runs, full_runs = [], []
+    try:
+        prior = run_dedup(prior_ds, cfg)
+        prior.labels.count()  # force the prior state (untimed)
+        for _ in range(max(1, best_of)):
+            s0 = _read_steal()
+            t0 = time.perf_counter()
+            inc = run_dedup_incremental(new_ds, prior, cfg)
+            n_inc = inc.labels.count()
+            inc_runs.append((time.perf_counter() - t0,
+                             _steal_fraction(s0, _read_steal())))
+            s0 = _read_steal()
+            t0 = time.perf_counter()
+            full = run_dedup(base, cfg)
+            n_full = full.labels.count()
+            full_runs.append((time.perf_counter() - t0,
+                              _steal_fraction(s0, _read_steal())))
+        assert n_inc == n_full == n_pages, (n_inc, n_full, n_pages)
+    finally:
+        ctx.shuffle_strategy = prev
+    inc_sec, inc_steal = min(inc_runs, key=lambda r: r[0])
+    full_sec, full_steal = min(full_runs, key=lambda r: r[0])
+    return {
+        "metric": "incremental_fold_sec",
+        "value": round(inc_sec, 3),
+        "unit": "sec",
+        "full_rerun_sec": round(full_sec, 3),
+        "speedup_vs_full": round(full_sec / inc_sec, 2),
+        "n_pages": n_pages,
+        "n_new": n_new,
+        "num_cpus": NUM_CPUS,
+        "steal_frac_inc": inc_steal,
+        "steal_frac_full": full_steal,
+        "inc_runs_sec": [round(w, 3) for w, _ in inc_runs],
+        "full_runs_sec": [round(w, 3) for w, _ in full_runs],
+    }
+
+
 def run_scaling() -> dict:
     import subprocess
 
@@ -384,6 +477,11 @@ if __name__ == "__main__":
             result = run_scaling()
         elif "--cc" in sys.argv:
             result = run_cc_bench()
+            import ray
+
+            ray.shutdown()
+        elif "--incremental" in sys.argv:
+            result = run_incremental_bench()
             import ray
 
             ray.shutdown()
