@@ -69,7 +69,7 @@ def compute_signatures(pages, cfg: PipelineConfig):
 def run_dedup(pages, cfg: PipelineConfig | None = None,
               use_scorer_edges: bool | None = None, *,
               signatures_override=None, skip_pairs_both_in=None,
-              extra_edges=None) -> DedupResult:
+              extra_edges=None, candidate_state_dir=None) -> DedupResult:
     """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
 
     With ``cfg.checkpoint_dir`` set, signatures / verified / edges / labels
@@ -89,8 +89,12 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     ``signatures_override`` replaces the signature stage (``pages`` may
     then be None), ``skip_pairs_both_in`` (sorted int64 node ids) drops
     candidate pairs whose BOTH endpoints are listed before any blob is
-    attached or scored, and ``extra_edges`` unions a pre-existing edge
-    set (prior-component star edges) into the CC input.
+    attached or scored, ``extra_edges`` unions a pre-existing edge
+    set (prior-component star edges) into the CC input, and
+    ``candidate_state_dir`` (requires ``skip_pairs_both_in``) switches
+    the three explode branches to NEW-doc rows only, concatenating the
+    prior corpus's persisted explode partitions map-side inside each
+    pid task (incremental v2; pipelines/incremental.py).
     """
     import time as _time
 
@@ -164,6 +168,28 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
          "n_shingles", "url"])
     if cfg.checkpoint_dir is None:
         sig_reps = sig_reps.materialize()
+
+    _old_ref = None
+    if skip_pairs_both_in is not None:
+        import ray as _ray
+
+        _old_ref = _ray.put(np.ascontiguousarray(
+            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
+    if candidate_state_dir is not None:
+        # incremental v2: prior reps' explode rows come from the
+        # persisted per-pid state inside each group task — only NEW
+        # docs' rows enter the three explode shuffles
+        assert _old_ref is not None, \
+            "candidate_state_dir requires skip_pairs_both_in"
+
+        def _keep_new_nodes(b: pa.Table) -> pa.Table:
+            old = _ray.get(_old_ref)
+            keep = ~_in_sorted(old, b["node_id"].to_numpy(
+                zero_copy_only=False))
+            return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+        sig_reps = sig_reps.map_batches(_keep_new_nodes,
+                                        batch_format="pyarrow")
     band_explode = cand.BandExploder(cfg, with_url=False)
     sim_explode = cand.SimhashChunkExploder(cfg, with_url=False)
     win_explode = cand.WinnowExploder(cfg, with_url=False)
@@ -182,38 +208,45 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # creation, so the three-way union feeds its groupby directly — no
     # separate add_pair_pid pass over the pre-dedup pair rows (the
     # largest intermediate; VERDICT r3 #8 free fusion)
+    fn_min = cand.make_partition_pairs_fn(
+        "band_key", cfg.band_group_cap, "minhash", est_min=est_min,
+        pair_pid_buckets=nb)
+    fn_sim = cand.make_partition_pairs_fn(
+        "chunk_key", cfg.band_group_cap, "simhash", est_min=est_min,
+        with_simhash=True, max_hamming=cfg.simhash_max_hamming,
+        pair_pid_buckets=nb)
+    fn_win = cand.make_partition_pairs_fn(
+        "fp_key", cfg.winnow_group_cap, "winnow", pair_pid_buckets=nb)
+    if candidate_state_dir is not None:
+        fn_min = cand.make_stateful_pairs_fn(
+            candidate_state_dir, "band", fn_min, "band_key")
+        fn_sim = cand.make_stateful_pairs_fn(
+            candidate_state_dir, "simhash", fn_sim, "chunk_key",
+            with_simhash=True)
+        fn_win = cand.make_stateful_pairs_fn(
+            candidate_state_dir, "winnow", fn_win, "fp_key")
     minhash_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: band_explode(b),
                              batch_format="pyarrow",
                              batch_size=None), "band_key", nb)
         .groupby("pid")
-        .map_groups(cand.make_partition_pairs_fn(
-            "band_key", cfg.band_group_cap, "minhash", est_min=est_min,
-            pair_pid_buckets=nb),
-            batch_format="pyarrow"))
+        .map_groups(fn_min, batch_format="pyarrow"))
     simhash_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: sim_explode(b),
                              batch_format="pyarrow",
                              batch_size=None), "chunk_key", nb)
         .groupby("pid")
-        .map_groups(cand.make_partition_pairs_fn(
-            "chunk_key", cfg.band_group_cap, "simhash", est_min=est_min,
-            with_simhash=True, max_hamming=cfg.simhash_max_hamming,
-            pair_pid_buckets=nb),
-            batch_format="pyarrow"))
+        .map_groups(fn_sim, batch_format="pyarrow"))
     winnow_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: win_explode(b),
                              batch_format="pyarrow",
                              batch_size=None), "fp_key", nb)
         .groupby("pid")
-        .map_groups(cand.make_partition_pairs_fn(
-            "fp_key", cfg.winnow_group_cap, "winnow",
-            pair_pid_buckets=nb),
-            batch_format="pyarrow"))
+        .map_groups(fn_win, batch_format="pyarrow"))
 
     raw_cands = minhash_cands.union(simhash_cands).union(winnow_cands)
 
-    if skip_pairs_both_in is not None:
+    if _old_ref is not None:
         # incremental regime: pairs internal to the PRIOR corpus are
         # already encoded by its component structure (extra_edges) —
         # drop them BEFORE any shingle blob is attached or any scorer
@@ -221,12 +254,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         # id array (8 B/prior-doc, shipped once per node); pair rows
         # themselves are slim int64s so the pre-filter shuffle cost of
         # the dropped pairs is the v1 trade documented in
-        # pipelines/incremental.py.
-        import ray as _ray
-
-        _old_ref = _ray.put(np.ascontiguousarray(
-            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
-
+        # pipelines/incremental.py (the v2 state path only emits them
+        # for prior-only key runs inside buckets a new doc touches).
         def _drop_both_prior(b: pa.Table) -> pa.Table:
             old = _ray.get(_old_ref)
             keep = ~(_in_sorted(old, b["node_a"].to_numpy(

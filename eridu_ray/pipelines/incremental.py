@@ -28,15 +28,27 @@ tests/test_incremental.py):
 
 What this buys at scale: verify blob attachment, exact-Jaccard compute,
 borderline scoring and span LCS all skip the O(prior²) pair set and pay
-only O(prior × new + new²) — the increment's actual novelty.  The v1
-trades documented here: (a) the explode/bucket candidate shuffles still
-carry the prior reps' slim rows (ids + sketches, no blobs); a v2 would
-checkpoint the band tables and route only new keys into affected
-buckets.  (b) the prior node-id membership array is 8 B/doc ray.put
-once per node — 8 GB per 10⁹ prior docs; beyond per-node heap the
-filter becomes a partitioned anti-join on (node_a, node_b) instead.
-(c) v1 runs un-checkpointed (the stage-lineage fingerprint has no
-meaning for a composed signature input).
+only O(prior × new + new²) — the increment's actual novelty.
+
+Two fold modes:
+
+- **v1** (no ``state_dir``): the explode/bucket candidate shuffles still
+  carry the prior reps' slim rows (ids + sketches, no blobs) every fold.
+- **v2** (``state_dir`` from :func:`build_incremental_state`): the prior
+  reps' explode tables are persisted once, hive-partitioned by the same
+  pid the candidate groupby uses; a fold shuffles only the NEW docs'
+  explode rows and each pair task concatenates its pid's persisted
+  partition map-side (``stages/candidates.make_stateful_pairs_fn``) —
+  exchange cost ∝ increment.  Prior rows are still *read* (sequential
+  local/shared-storage Parquet, one partition per task per family);
+  a v3 would sort state by key and load only buckets a new key touches.
+
+Remaining trades (both modes): (a) the prior node-id membership array
+is 8 B/doc ray.put once per node — 8 GB per 10⁹ prior docs; beyond
+per-node heap the filter becomes a partitioned anti-join on
+(node_a, node_b) instead.  (b) folds run un-checkpointed (the
+stage-lineage fingerprint has no meaning for a composed signature
+input).
 
 New-batch urls must be disjoint from the prior corpus (node ids are
 stable url hashes; a re-crawled url should be dropped or versioned
@@ -93,22 +105,75 @@ def _collect_node_ids(signatures) -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
+def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
+                            state_dir: str) -> str:
+    """Persist the prior corpus's per-family explode tables for v2 folds.
+
+    One pass amortized across every subsequent fold: the prior reps
+    (recomputed by the same deterministic exact stage) are exploded by
+    each candidate family and written hive-partitioned by pid
+    (``state_dir/{band,simhash,winnow}/pid=N/``), so a fold's pair
+    tasks read exactly one local partition per family instead of
+    re-shuffling the prior rows (see ``make_stateful_pairs_fn``).  On a
+    cluster the dir must be shared storage.
+    """
+    from eridu_ray.stages import candidates as cand
+
+    slim = prior.signatures.select_columns(
+        ["chash", "chash2", "node_id", "url", "n_shingles",
+         "minhash", "simhash", "winnow"])
+    tagged = (cand.add_pid(slim, "chash", cfg.bucket_partitions)
+              .groupby("pid")
+              .map_groups(cand.exact_groups_partition_fn,
+                          batch_format="pyarrow"))
+    sig_reps = tagged.filter(
+        expr="is_rep == True and n_shingles > 0").drop_columns(
+        ["pid", "is_rep", "rep_node", "rep_url", "chash", "chash2",
+         "n_shingles", "url"]).materialize()
+    nb = cfg.bucket_partitions
+    for family, exploder, key in (
+            ("band", cand.BandExploder(cfg, with_url=False), "band_key"),
+            ("simhash", cand.SimhashChunkExploder(cfg, with_url=False),
+             "chunk_key"),
+            ("winnow", cand.WinnowExploder(cfg, with_url=False),
+             "fp_key")):
+        rows = cand.add_pid(
+            sig_reps.map_batches(lambda b, e=exploder: e(b),
+                                 batch_format="pyarrow",
+                                 batch_size=None), key, nb)
+        rows.write_parquet(f"{state_dir}/{family}",
+                           partition_cols=["pid"])
+    return state_dir
+
+
 def run_dedup_incremental(new_pages, prior: DedupResult,
-                          cfg: PipelineConfig | None = None) -> DedupResult:
+                          cfg: PipelineConfig | None = None,
+                          state_dir: str | None = None) -> DedupResult:
     """Dedup ``new_pages`` against (and within) a prior :class:`DedupResult`.
 
     Returns a full DedupResult over prior ∪ new docs whose ``labels``
     are byte-identical to a from-scratch ``run_dedup`` over the combined
     corpus (see module docstring for the argument and
     tests/test_incremental.py for the gate).
+
+    With ``state_dir`` (written by :func:`build_incremental_state`) the
+    v2 path runs: only NEW docs' explode rows enter the candidate
+    shuffles, prior rows are read map-side from the persisted per-pid
+    partitions — fold exchange cost becomes proportional to the
+    increment, not the corpus.  A demoted prior rep (a new doc wins its
+    exact group) keeps its state rows; the resulting extra pairs verify
+    to jaccard 1.0 against content-identical docs already connected by
+    the exact star edge, so the component partition — and therefore the
+    labels — stay byte-identical (gated in tests).
     """
     cfg = cfg or PipelineConfig()
     assert cfg.checkpoint_dir is None, \
-        "incremental v1 runs un-checkpointed (see module docstring)"
+        "incremental runs un-checkpointed (see module docstring)"
     new_sigs = compute_signatures(new_pages, cfg).materialize()
     all_sigs = prior.signatures.union(new_sigs).materialize()
     return run_dedup(
         None, cfg,
         signatures_override=all_sigs,
         skip_pairs_both_in=_collect_node_ids(prior.signatures),
-        extra_edges=prior_star_edges(prior.labels, cfg))
+        extra_edges=prior_star_edges(prior.labels, cfg),
+        candidate_state_dir=state_dir)

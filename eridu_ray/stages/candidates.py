@@ -721,6 +721,39 @@ def append_pair_pid(tab: pa.Table, num_buckets: int) -> pa.Table:
     return tab.append_column("pid", pa.array(pid))
 
 
+def make_stateful_pairs_fn(state_dir: str, family: str, inner_fn,
+                           key_col: str, with_simhash: bool = False):
+    """Wrap a pair-emission fn with a map-side read of the persisted
+    prior explode partition (incremental v2, pipelines/incremental.py).
+
+    The group arriving from ``groupby("pid")`` carries only the NEW
+    docs' explode rows; the prior corpus's rows for the same pid are
+    read from ``state_dir/family/pid=N/`` (hive-partitioned Parquet
+    written by ``build_incremental_state``) inside the task and
+    concatenated before the unchanged pair kernel runs — so bucket
+    membership, caps and salting see exactly the union-run rows, and
+    the prior rows never enter a shuffle.  On a multi-node cluster the
+    state dir must be shared storage (each pid partition is read by
+    exactly one task per fold)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    need = [key_col, "node_id", "sketch"] + (
+        ["simhash"] if with_simhash else [])
+
+    def fn(g: pa.Table) -> pa.Table:
+        pid = int(g["pid"][0].as_py())
+        gt = g.select(need)
+        path = os.path.join(state_dir, family, f"pid={pid}")
+        if os.path.isdir(path):
+            old = pq.read_table(path, columns=need).select(need)
+            gt = pa.concat_tables([gt, old.cast(gt.schema)])
+        return inner_fn(gt)
+
+    return fn
+
+
 def make_partition_pairs_fn(key_col: str, cap: int, src: str,
                             est_min: float | None = None,
                             with_simhash: bool = False,

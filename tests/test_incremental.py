@@ -14,7 +14,8 @@ import pytest
 from eridu_ray.config import PipelineConfig
 from eridu_ray.kernels.hashing import hash_strings_u64
 from eridu_ray.pipelines.dedup import run_dedup
-from eridu_ray.pipelines.incremental import (prior_star_edges,
+from eridu_ray.pipelines.incremental import (build_incremental_state,
+                                             prior_star_edges,
                                              run_dedup_incremental)
 from eridu_ray.sources.synth import expand_documents_batch
 
@@ -47,6 +48,26 @@ def test_incremental_labels_match_full_rerun(split_corpus):
     inc = run_dedup_incremental(
         rd.from_arrow(new_pages), prior, cfg).labels.to_pandas()
     assert len(inc) == pages.num_rows
+    a = full.sort_values("url").reset_index(drop=True)
+    b = inc.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_v2_state_path_matches_full_rerun(split_corpus,
+                                                      tmp_path):
+    """v2 (persisted explode state, new-rows-only candidate shuffles)
+    must also reproduce the from-scratch labels byte-identically —
+    including across demoted prior reps (a new doc winning an exact
+    group is common under the url-hash split)."""
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    state = build_incremental_state(prior, cfg, str(tmp_path / "state"))
+    inc = run_dedup_incremental(
+        rd.from_arrow(new_pages), prior, cfg,
+        state_dir=state).labels.to_pandas()
     a = full.sort_values("url").reset_index(drop=True)
     b = inc.sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
