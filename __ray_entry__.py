@@ -155,9 +155,13 @@ def _q_dedup_flagship(sf_dir: str) -> Any:
 def _q_dedup_incremental(sf_dir: str) -> Any:
     """Incremental dedup (pipelines/incremental.py): the synthesized
     corpus is split in half by url hash, the first half deduped from
-    scratch, the second folded in incrementally; returns the combined
-    labels (rows-only check — byte-equality with the full rerun is
-    gated in tests/test_incremental.py)."""
+    scratch and its explode state persisted, the second folded in via
+    the v2 state path (new-rows-only candidate shuffles); returns the
+    combined labels (rows-only check — byte-equality with the full
+    rerun, both v1 and v2, is gated in tests/test_incremental.py)."""
+    import shutil
+    import tempfile
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -166,7 +170,8 @@ def _q_dedup_incremental(sf_dir: str) -> Any:
     from eridu_ray.config import PipelineConfig
     from eridu_ray.kernels.hashing import hash_strings_u64
     from eridu_ray.pipelines.dedup import run_dedup
-    from eridu_ray.pipelines.incremental import run_dedup_incremental
+    from eridu_ray.pipelines.incremental import (build_incremental_state,
+                                                 run_dedup_incremental)
     from eridu_ray.sources.synth import synthesize_corpus
 
     cfg = PipelineConfig(num_partitions=8)
@@ -175,8 +180,15 @@ def _q_dedup_incremental(sf_dir: str) -> Any:
     mask = (hash_strings_u64(pages["url"].to_pylist(), seed=7)
             % np.uint64(2)).astype(bool)
     prior = run_dedup(rd.from_arrow(pages.filter(pa.array(~mask))), cfg)
-    return run_dedup_incremental(
-        rd.from_arrow(pages.filter(pa.array(mask))), prior, cfg).labels
+    state_dir = tempfile.mkdtemp(prefix="eridu_inc_state_")
+    try:
+        state = build_incremental_state(prior, cfg, state_dir)
+        labels = run_dedup_incremental(
+            rd.from_arrow(pages.filter(pa.array(mask))), prior, cfg,
+            state_dir=state).labels.materialize()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return labels
 
 
 def oracle_sql() -> dict[str, str]:
