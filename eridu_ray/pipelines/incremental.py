@@ -116,7 +116,18 @@ def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
     tasks read exactly one local partition per family instead of
     re-shuffling the prior rows (see ``make_stateful_pairs_fn``).  On a
     cluster the dir must be shared storage.
+
+    A ``manifest.json`` records the semantic ``config_hash`` (the
+    explode rows' content depends on shingle/minhash/winnow params and
+    the seed) AND ``bucket_partitions`` (normally a pure layout knob,
+    but here the fold's groupby must land new rows on the SAME pid the
+    state was partitioned by — a mismatch would silently drop prior
+    rows from candidate buckets).  :func:`run_dedup_incremental`
+    refuses a state whose manifest disagrees with the fold config.
     """
+    import json
+    import os
+
     from eridu_ray.stages import candidates as cand
 
     slim = prior.signatures.select_columns(
@@ -143,7 +154,30 @@ def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
                                  batch_size=None), key, nb)
         rows.write_parquet(f"{state_dir}/{family}",
                            partition_cols=["pid"])
+    with open(os.path.join(state_dir, "manifest.json"), "w") as f:
+        json.dump({"config_hash": cfg.config_hash(),
+                   "bucket_partitions": cfg.bucket_partitions}, f)
     return state_dir
+
+
+def _validate_state(state_dir: str, cfg: PipelineConfig) -> None:
+    import json
+    import os
+
+    path = os.path.join(state_dir, "manifest.json")
+    if not os.path.isfile(path):
+        raise ValueError(f"no manifest.json in state_dir {state_dir!r} "
+                         "(not written by build_incremental_state?)")
+    with open(path) as f:
+        m = json.load(f)
+    want = {"config_hash": cfg.config_hash(),
+            "bucket_partitions": cfg.bucket_partitions}
+    if m != want:
+        raise ValueError(
+            f"incremental state {state_dir!r} was built under a "
+            f"different config: state {m} vs fold {want} — rebuild the "
+            "state (a bucket_partitions mismatch would silently drop "
+            "prior rows from candidate buckets)")
 
 
 def run_dedup_incremental(new_pages, prior: DedupResult,
@@ -169,6 +203,8 @@ def run_dedup_incremental(new_pages, prior: DedupResult,
     cfg = cfg or PipelineConfig()
     assert cfg.checkpoint_dir is None, \
         "incremental runs un-checkpointed (see module docstring)"
+    if state_dir is not None:
+        _validate_state(state_dir, cfg)
     new_sigs = compute_signatures(new_pages, cfg).materialize()
     all_sigs = prior.signatures.union(new_sigs).materialize()
     return run_dedup(

@@ -73,6 +73,31 @@ def test_incremental_v2_state_path_matches_full_rerun(split_corpus,
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_incremental_v2_rejects_mismatched_state(split_corpus, tmp_path):
+    """A state built under a different bucket_partitions (or semantic
+    config) must be refused — a pid mismatch would silently drop prior
+    rows from candidate buckets instead of erroring."""
+    import dataclasses
+
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    state = build_incremental_state(prior, cfg, str(tmp_path / "s"))
+    other_layout = dataclasses.replace(
+        cfg, bucket_partitions=cfg.bucket_partitions * 2)
+    with pytest.raises(ValueError, match="different config"):
+        run_dedup_incremental(rd.from_arrow(new_pages), prior,
+                              other_layout, state_dir=state)
+    other_semantic = dataclasses.replace(cfg, seed=cfg.seed + 1)
+    with pytest.raises(ValueError, match="different config"):
+        run_dedup_incremental(rd.from_arrow(new_pages), prior,
+                              other_semantic, state_dir=state)
+    with pytest.raises(ValueError, match="manifest"):
+        run_dedup_incremental(rd.from_arrow(new_pages), prior, cfg,
+                              state_dir=str(tmp_path / "nowhere"))
+
+
 def test_prior_star_edges_shape(split_corpus):
     """Star edges: one edge per non-singleton labels row, node ids equal
     the signature stage's seeded url hashes, singletons emit nothing."""
