@@ -176,9 +176,13 @@ def synth(sf_dir: str, out_dir: str, repeat: int, fatten: int,
               help="Borderline scorer edges in the flagship edge set")
 @click.option("--dup-jaccard", default=0.80, type=float,
               help="Exact-Jaccard duplicate threshold")
+@click.option("--save-state", default=None,
+              help="Also persist a fold state (signatures + labels + "
+                   "explode tables) for later `fold` increments")
 @click.option("--num-cpus", default=0, type=int)
 def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
-          scorer: bool, dup_jaccard: float, num_cpus: int) -> None:
+          scorer: bool, dup_jaccard: float, save_state: str | None,
+          num_cpus: int) -> None:
     """Run the near-duplicate detection + clustering pipeline and write
     (url, component, component_size) labels as partitioned Parquet."""
     ray = _ray_session(num_cpus or None)
@@ -196,9 +200,81 @@ def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
         os.makedirs(output_dir, exist_ok=True)
         res.labels.write_parquet(output_dir)
         n = res.labels.count()
+        if save_state:
+            from eridu_ray.pipelines.incremental import save_fold_state
+
+            save_fold_state(res, cfg, save_state)
         click.echo(json.dumps({"labels_rows": n,
                                "counters": res.counters,
-                               "output": output_dir}))
+                               "output": output_dir,
+                               "state": save_state}))
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# fold — daily-increment dedup (beyond-reference; pipelines/incremental.py)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--state", "state_dir", required=True,
+              help="Fold state written by `dedup --save-state` (or a "
+                   "previous `fold --update-state`)")
+@click.option("--input", "input_path", required=True,
+              help="NEW pages Parquet to fold into the prior corpus "
+                   "(urls must be disjoint from it)")
+@click.option("--output", "output_dir", required=True,
+              help="Directory for the combined component-labels Parquet")
+@click.option("--update-state/--no-update-state", default=False,
+              help="Roll the state forward to the combined corpus so "
+                   "the next increment folds against it")
+@click.option("--scorer/--no-scorer", default=True)
+@click.option("--dup-jaccard", default=0.80, type=float)
+@click.option("--num-cpus", default=0, type=int)
+def fold(state_dir: str, input_path: str, output_dir: str,
+         update_state: bool, scorer: bool, dup_jaccard: float,
+         num_cpus: int) -> None:
+    """Fold a batch of NEW pages into a prior dedup state without
+    re-verifying the prior corpus against itself; labels over the
+    combined corpus are byte-identical to a from-scratch rerun
+    (pipelines/incremental.py, gated in tests/test_incremental.py).
+    The config flags must match the state's manifest or the fold is
+    refused."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        import ray.data as rd
+
+        from eridu_ray.config import PipelineConfig
+        from eridu_ray.pipelines.incremental import (load_fold_state,
+                                                     run_dedup_incremental,
+                                                     save_fold_state)
+
+        cfg = PipelineConfig(dup_jaccard=dup_jaccard,
+                             use_scorer_edges=scorer)
+        prior = load_fold_state(state_dir, cfg)
+        res = run_dedup_incremental(rd.read_parquet(input_path), prior,
+                                    cfg, state_dir=state_dir)
+        os.makedirs(output_dir, exist_ok=True)
+        res.labels.write_parquet(output_dir)
+        n = res.labels.count()
+        if update_state:
+            import shutil
+            import tempfile
+
+            # write-new-then-swap: a failed rewrite must not destroy
+            # the only copy of the prior state
+            tmp = tempfile.mkdtemp(
+                prefix=".state_next_",
+                dir=os.path.dirname(os.path.abspath(state_dir)) or ".")
+            save_fold_state(res, cfg, tmp)
+            old = state_dir.rstrip("/") + ".prev"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_dir, old)
+            os.rename(tmp, state_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        click.echo(json.dumps({"labels_rows": n,
+                               "counters": res.counters,
+                               "output": output_dir,
+                               "state_updated": update_state}))
     finally:
         ray.shutdown()
 

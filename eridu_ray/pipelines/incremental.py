@@ -180,6 +180,36 @@ def _validate_state(state_dir: str, cfg: PipelineConfig) -> None:
             "prior rows from candidate buckets)")
 
 
+def save_fold_state(prior: DedupResult, cfg: PipelineConfig,
+                    state_dir: str) -> str:
+    """Persist everything a future fold needs, so increments can be
+    folded across processes/days: the prior signatures and labels
+    (Parquet) plus the v2 explode tables + manifest
+    (:func:`build_incremental_state`).  Rewrite it from a fold's result
+    to roll the state forward to the new combined corpus.
+    """
+    build_incremental_state(prior, cfg, state_dir)
+    prior.signatures.write_parquet(f"{state_dir}/signatures")
+    prior.labels.write_parquet(f"{state_dir}/labels")
+    return state_dir
+
+
+def load_fold_state(state_dir: str, cfg: PipelineConfig) -> DedupResult:
+    """Load a :func:`save_fold_state` dir as the ``prior`` of a fold.
+
+    Validates the manifest against ``cfg`` (semantic config hash +
+    bucket alignment); ``verified``/``edges``/``span_edges`` are not
+    part of the fold contract and come back as None.
+    """
+    import ray.data as rd
+
+    _validate_state(state_dir, cfg)
+    return DedupResult(
+        signatures=rd.read_parquet(f"{state_dir}/signatures"),
+        verified=None, edges=None, span_edges=None,
+        labels=rd.read_parquet(f"{state_dir}/labels"))
+
+
 def run_dedup_incremental(new_pages, prior: DedupResult,
                           cfg: PipelineConfig | None = None,
                           state_dir: str | None = None) -> DedupResult:

@@ -121,6 +121,46 @@ def test_dedup_cli_end_to_end(runner, ray_session, tmp_path, small_corpus):
         labels.column_names)
 
 
+def test_fold_cli_matches_full_dedup(runner, ray_session, tmp_path,
+                                     small_corpus):
+    """dedup --save-state on a prior split, fold the rest in, and the
+    combined labels must equal a full-dedup run over all pages; with
+    --update-state the state rolls forward and the manifest survives."""
+    import pandas as pd
+
+    from eridu_ray.kernels.hashing import hash_strings_u64
+
+    pages = pq.read_table(small_corpus["pages"])
+    h = hash_strings_u64(pages["url"].to_pylist(), seed=7)
+    mask = (h % np.uint64(2)).astype(bool)
+    prior_p = str(tmp_path / "prior.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(pages.filter(pa.array(~mask)), prior_p)
+    pq.write_table(pages.filter(pa.array(mask)), new_p)
+
+    full_out = str(tmp_path / "full")
+    assert runner.invoke(cli, ["dedup", "--input", small_corpus["pages"],
+                               "--output", full_out]).exit_code == 0
+    state = str(tmp_path / "state")
+    prior_out = str(tmp_path / "prior_labels")
+    res = runner.invoke(cli, ["dedup", "--input", prior_p, "--output",
+                              prior_out, "--save-state", state])
+    assert res.exit_code == 0, res.output
+    fold_out = str(tmp_path / "fold_labels")
+    res = runner.invoke(cli, ["fold", "--state", state, "--input", new_p,
+                              "--output", fold_out, "--update-state"])
+    assert res.exit_code == 0, res.output
+    a = pq.read_table(full_out).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    b = pq.read_table(fold_out).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert os.path.isfile(os.path.join(state, "manifest.json"))
+    # rolled-forward state covers the combined corpus
+    assert pq.read_table(os.path.join(
+        state, "labels")).num_rows == pages.num_rows
+
+
 def test_encode_cli(runner, ray_session, tmp_path):
     out = str(tmp_path / "emb")
     res = runner.invoke(cli, ["encode", "--sf-dir", "/root/testdata/sf0.001",

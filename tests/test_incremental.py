@@ -98,6 +98,29 @@ def test_incremental_v2_rejects_mismatched_state(split_corpus, tmp_path):
                               state_dir=str(tmp_path / "nowhere"))
 
 
+def test_fold_state_roundtrip_across_processes(split_corpus, tmp_path):
+    """save_fold_state → load_fold_state → fold must reproduce the
+    from-scratch labels byte-identically (the cross-day/cross-process
+    contract the CLI `fold` command relies on), including the parquet
+    roundtrip of the signature blobs."""
+    import ray.data as rd
+
+    from eridu_ray.pipelines.incremental import (load_fold_state,
+                                                 save_fold_state)
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    state = save_fold_state(prior, cfg, str(tmp_path / "state"))
+    loaded = load_fold_state(state, cfg)
+    inc = run_dedup_incremental(
+        rd.from_arrow(new_pages), loaded, cfg,
+        state_dir=state).labels.to_pandas()
+    a = full.sort_values("url").reset_index(drop=True)
+    b = inc.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_prior_star_edges_shape(split_corpus):
     """Star edges: one edge per non-singleton labels row, node ids equal
     the signature stage's seeded url hashes, singletons emit nothing."""
