@@ -236,10 +236,23 @@ def run_dedup_incremental(new_pages, prior: DedupResult,
     if state_dir is not None:
         _validate_state(state_dir, cfg)
     new_sigs = compute_signatures(new_pages, cfg).materialize()
+    prior_ids = _collect_node_ids(prior.signatures)
+    new_ids = _collect_node_ids(new_sigs)
+    # enforce the documented contract instead of silently emitting two
+    # label rows per re-crawled url: node ids are stable url hashes, so
+    # one searchsorted over the (already-collected) prior ids finds any
+    # collision
+    clash = np.intersect1d(new_ids, prior_ids, assume_unique=False)
+    if clash.size:
+        raise ValueError(
+            f"{clash.size} new-batch url(s) already exist in the prior "
+            "corpus (first colliding node ids: "
+            f"{clash[:5].tolist()}) — re-crawled urls must be dropped "
+            "or versioned upstream (module docstring)")
     all_sigs = prior.signatures.union(new_sigs).materialize()
     return run_dedup(
         None, cfg,
         signatures_override=all_sigs,
-        skip_pairs_both_in=_collect_node_ids(prior.signatures),
+        skip_pairs_both_in=prior_ids,
         extra_edges=prior_star_edges(prior.labels, cfg),
         candidate_state_dir=state_dir)

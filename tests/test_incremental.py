@@ -121,6 +121,19 @@ def test_fold_state_roundtrip_across_processes(split_corpus, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_incremental_rejects_recrawled_urls(split_corpus):
+    """A new batch sharing urls with the prior corpus must be refused —
+    node ids are url hashes, so a silent collision would emit two label
+    rows per url with undefined component assignment."""
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    overlapping = pa.concat_tables([new_pages, prior_pages.slice(0, 3)])
+    with pytest.raises(ValueError, match="already exist in the prior"):
+        run_dedup_incremental(rd.from_arrow(overlapping), prior, cfg)
+
+
 def test_prior_star_edges_shape(split_corpus):
     """Star edges: one edge per non-singleton labels row, node ids equal
     the signature stage's seeded url hashes, singletons emit nothing."""
