@@ -112,11 +112,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # REAL decodes: pure-numpy BMP / PCM-WAV parsers over deterministic
     # synthesized payloads (rows-only; round-trip + golden-value tests in
-    # tests/test_multimodal.py)
-    qs["multimodal_decode_bmp"] = lambda sf: mm.decode_bmp_images(
-        sf).drop_columns(["thumb"])
-    qs["multimodal_audio"] = lambda sf: mm.decode_audio(sf).drop_columns(
-        ["envelope"])
+    # tests/test_multimodal*.py).  Both decode paths run inside ONE
+    # registry entry (r4: the separate bmp/audio rows merged to keep the
+    # registry at the driver's 50-query window) — a union of the two
+    # actor-pool stages projected to a common (payload_id, kind,
+    # m1..m4) schema; m1..m4 are width/height/channels/bytes for bmp and
+    # sample_rate/channels/duration_ms/rms_micro for wav.
+    def _mm_decode(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+
+        def proj(kind, cols):
+            def f(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.table({
+                    "payload_id": b["payload_id"],
+                    "kind": pa.array(
+                        np.full(b.num_rows, kind, dtype=object),
+                        pa.string()),
+                    **{f"m{i + 1}": pc.cast(b[c], pa.int64())
+                       for i, c in enumerate(cols)}})
+
+            return f
+
+        bmp = mm.decode_bmp_images(sf_dir).map_batches(
+            proj("bmp", ["width", "height", "channels", "payload_bytes"]),
+            batch_format="pyarrow")
+        wav = mm.decode_audio(sf_dir).map_batches(
+            proj("wav", ["sample_rate", "channels", "duration_ms",
+                         "rms_micro"]),
+            batch_format="pyarrow")
+        return bmp.union(wav)
+
+    qs["multimodal_decode"] = _mm_decode
+
+    # benchmark decontamination (exact 128-bit + word-5-gram overlap vs
+    # a broadcast benchmark set; oracle-paired)
+    from eridu_ray.pipelines.decontaminate import q_decontaminate
+
+    qs["decontaminate"] = q_decontaminate
 
     # entity-aware split over flagship components (D7/M16; rows-only —
     # leakage invariant asserted in tests/test_evaluate.py)
@@ -198,10 +233,12 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
+    from eridu_ray.pipelines.decontaminate import DECONTAMINATE_SQL
     from eridu_ray.pipelines.relational import ORACLE_SQL
     from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
     from eridu_ray.pipelines.textstats import ORACLE_SQL as TEXT_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **CSV_SQL, **AUG_SQL}
+    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **CSV_SQL, **AUG_SQL,
+            "decontaminate": DECONTAMINATE_SQL}

@@ -118,7 +118,8 @@ def run_bench() -> dict:
     for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
                   "exact_dedup", "embedding_topk", "token_counts",
                   "anti_join", "grouped_topk", "asof_join",
-                  "length_percentiles"):
+                  "length_percentiles", "decontaminate",
+                  "repetition_quality"):
         fn = registry.get(qname) or relational.build_queries()[qname]
         tq = time.perf_counter()
         out = fn(SF_DIR)

@@ -117,6 +117,49 @@ def q_bigram_topk(sf_dir: str):
             .limit(TOPK))
 
 
+def q_ngram_topk(sf_dir: str):
+    """Generalized n-gram frequency top-k (driver registry entry: the
+    r3 ``vocab_topk`` + ``bigram_topk`` queries collapsed into one —
+    same partial-combine exchange, tagged by ``n_order``).  Each order
+    keeps its own top-k; the union is the result."""
+
+    def tag(ds, order: int, term_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_order": pa.array(
+                    np.full(b.num_rows, order, np.int64)),
+                "term": b[term_col], "n": b["n"]})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return tag(q_vocab_topk(sf_dir), 1, "token").union(
+        tag(q_bigram_topk(sf_dir), 2, "bigram"))
+
+
+def q_repetition_quality(sf_dir: str):
+    """Per-document Gopher-style repetition signals (quality filtering
+    for LLM training data): most-frequent-adjacent-bigram count vs total
+    bigrams (top-2-gram fraction) and duplicated-trigram occurrences vs
+    total trigrams.  Exact integer counts (hash-gate friendly; the
+    fractions are the ratios downstream filters compute).  Docs with
+    fewer than 3 tokens are excluded (no trigram window — matches the
+    oracle's inner join).  Fully vectorized per batch: batch-local
+    ``factorize`` codes packed into collision-free 64-bit composite
+    keys, one lexsort per n-gram order (kernels/ngrams.py) — zero
+    shuffle, the operator is embarrassingly parallel."""
+    from eridu_ray.kernels.ngrams import repetition_stats
+
+    ds = _rp(sf_dir, ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        stats = repetition_stats(b["text"])
+        t = pa.table({"doc_id": b["doc_id"],
+                      **{k: pa.array(v) for k, v in stats.items()}})
+        return t.filter(pc.greater(t["n_trigrams"], 0))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _doc_token_tf(b: pa.Table):
     """(doc_idx, token, tf) triples per batch, vectorized via pandas
     drop_duplicates/value_counts (each doc is one row, so per-doc term
@@ -371,25 +414,56 @@ def q_redact_numbers(sf_dir: str):
 
 
 TEXTSTATS_QUERIES = {
-    "vocab_topk": q_vocab_topk,
-    "bigram_topk": q_bigram_topk,
+    # vocab_topk/bigram_topk stay importable and tested; the driver
+    # registry carries them merged as ngram_topk (50-entry window)
+    "ngram_topk": q_ngram_topk,
     "rarest_term": q_rarest_term,
     "redact_numbers": q_redact_numbers,
     "length_percentiles": q_length_percentiles,
+    "repetition_quality": q_repetition_quality,
 }
 
+_VOCAB_TOPK_SQL = (
+    "SELECT t AS token, count(*)::BIGINT AS n FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+    "WHERE t <> '' GROUP BY t "
+    f"ORDER BY n DESC, token LIMIT {TOPK}")
+
+_BIGRAM_TOPK_SQL = (
+    "SELECT bg AS bigram, count(*)::BIGINT AS n FROM ("
+    "SELECT unnest(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM ("
+    "SELECT string_split(text, ' ') AS toks FROM documents)) "
+    f"GROUP BY bg ORDER BY n DESC, bigram LIMIT {TOPK}")
+
 ORACLE_SQL = {
-    "vocab_topk": (
-        "SELECT t AS token, count(*)::BIGINT AS n FROM ("
-        "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
-        "WHERE t <> '' GROUP BY t "
-        f"ORDER BY n DESC, token LIMIT {TOPK}"),
-    "bigram_topk": (
-        "SELECT bg AS bigram, count(*)::BIGINT AS n FROM ("
-        "SELECT unnest(list_transform(range(1, len(toks)), "
-        "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM ("
-        "SELECT string_split(text, ' ') AS toks FROM documents)) "
-        f"GROUP BY bg ORDER BY n DESC, bigram LIMIT {TOPK}"),
+    "ngram_topk": (
+        f"SELECT 1::BIGINT AS n_order, token AS term, n "
+        f"FROM ({_VOCAB_TOPK_SQL}) "
+        f"UNION ALL SELECT 2::BIGINT, bigram, n "
+        f"FROM ({_BIGRAM_TOPK_SQL})"),
+    "repetition_quality": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "ng AS (SELECT doc_id, "
+        "  list_transform(range(1, greatest(len(toks), 1)), "
+        "    i -> toks[i] || ' ' || toks[i+1]) AS bgs, "
+        "  list_transform(range(1, greatest(len(toks) - 1, 1)), "
+        "    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs "
+        "  FROM t), "
+        "bc AS (SELECT doc_id, bg, count(*) AS n FROM "
+        "  (SELECT doc_id, unnest(bgs) AS bg FROM ng) GROUP BY 1, 2), "
+        "bagg AS (SELECT doc_id, max(n) AS top_bigram_n, "
+        "  sum(n) AS n_bigrams FROM bc GROUP BY 1), "
+        "tagg AS (SELECT doc_id, "
+        "  count(*) - count(DISTINCT tg) AS dup_trigram_n, "
+        "  count(*) AS n_trigrams FROM "
+        "  (SELECT doc_id, unnest(tgs) AS tg FROM ng) GROUP BY 1) "
+        "SELECT b.doc_id, b.top_bigram_n::BIGINT AS top_bigram_n, "
+        "b.n_bigrams::BIGINT AS n_bigrams, "
+        "t.dup_trigram_n::BIGINT AS dup_trigram_n, "
+        "t.n_trigrams::BIGINT AS n_trigrams "
+        "FROM bagg b JOIN tagg t USING (doc_id)"),
     "rarest_term": (
         "WITH tok AS ("
         "  SELECT doc_id, t AS token, count(*)::BIGINT AS tf FROM ("
