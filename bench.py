@@ -296,10 +296,13 @@ def run_incremental_bench() -> dict:
     base = rd.read_parquet(info["pages"], override_num_blocks=nblocks)
     n_pages = base.count()
 
+    inc_denom = int(os.environ.get("ERIDU_INC_DENOM", "10"))
+
     def _split(want_new: bool):
         def f(b: pa.Table) -> pa.Table:
             h = hash_strings_u64(b["url"].to_pylist(), seed=7)
-            m = (h % np.uint64(10)) == 0  # 10% "daily increment"
+            # 1/ERIDU_INC_DENOM "daily increment" (default 10%)
+            m = (h % np.uint64(inc_denom)) == 0
             return b.filter(pa.array(m if want_new else ~m))
 
         return base.map_batches(f, batch_format="pyarrow").materialize()
@@ -313,7 +316,11 @@ def run_incremental_bench() -> dict:
     prev = ctx.shuffle_strategy
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     best_of = int(os.environ.get("ERIDU_BENCH_BEST_OF", "2"))
-    inc_runs, inc2_runs, full_runs = [], [], []
+    inc_runs, inc2_runs, inc3_runs, full_runs = [], [], [], []
+    import dataclasses
+
+    # v2 = full-partition state read; v3 (cfg default) = key-pruned read
+    cfg_noprune = dataclasses.replace(cfg, incremental_prune_state=False)
     try:
         prior = run_dedup(prior_ds, cfg)
         prior.labels.count()  # force the prior state (untimed)
@@ -330,10 +337,17 @@ def run_incremental_bench() -> dict:
                              _steal_fraction(s0, _read_steal())))
             s0 = _read_steal()
             t0 = time.perf_counter()
-            inc2 = run_dedup_incremental(new_ds, prior, cfg,
+            inc2 = run_dedup_incremental(new_ds, prior, cfg_noprune,
                                          state_dir=state)
             n_inc2 = inc2.labels.count()
             inc2_runs.append((time.perf_counter() - t0,
+                              _steal_fraction(s0, _read_steal())))
+            s0 = _read_steal()
+            t0 = time.perf_counter()
+            inc3 = run_dedup_incremental(new_ds, prior, cfg,
+                                         state_dir=state)
+            n_inc3 = inc3.labels.count()
+            inc3_runs.append((time.perf_counter() - t0,
                               _steal_fraction(s0, _read_steal())))
             s0 = _read_steal()
             t0 = time.perf_counter()
@@ -341,8 +355,8 @@ def run_incremental_bench() -> dict:
             n_full = full.labels.count()
             full_runs.append((time.perf_counter() - t0,
                               _steal_fraction(s0, _read_steal())))
-        assert n_inc == n_inc2 == n_full == n_pages, (
-            n_inc, n_inc2, n_full, n_pages)
+        assert n_inc == n_inc2 == n_inc3 == n_full == n_pages, (
+            n_inc, n_inc2, n_inc3, n_full, n_pages)
     finally:
         ctx.shuffle_strategy = prev
         import shutil
@@ -350,22 +364,28 @@ def run_incremental_bench() -> dict:
         shutil.rmtree("/tmp/eridu_inc_state", ignore_errors=True)
     inc_sec, inc_steal = min(inc_runs, key=lambda r: r[0])
     inc2_sec, inc2_steal = min(inc2_runs, key=lambda r: r[0])
+    inc3_sec, inc3_steal = min(inc3_runs, key=lambda r: r[0])
     full_sec, full_steal = min(full_runs, key=lambda r: r[0])
     return {
         "metric": "incremental_fold_sec",
-        "value": round(inc2_sec, 3),
+        "value": round(inc3_sec, 3),
         "unit": "sec",
         "v1_fold_sec": round(inc_sec, 3),
+        "v2_fold_sec": round(inc2_sec, 3),
         "full_rerun_sec": round(full_sec, 3),
-        "speedup_vs_full": round(full_sec / inc2_sec, 2),
+        "speedup_vs_full": round(full_sec / inc3_sec, 2),
+        "v2_speedup_vs_full": round(full_sec / inc2_sec, 2),
         "v1_speedup_vs_full": round(full_sec / inc_sec, 2),
         "state_build_sec": round(state_build_sec, 3),
         "n_pages": n_pages,
         "n_new": n_new,
+        "inc_denom": inc_denom,
         "num_cpus": NUM_CPUS,
         "steal_frac_inc": inc_steal,
         "steal_frac_inc_v2": inc2_steal,
+        "steal_frac_inc_v3": inc3_steal,
         "inc_v2_runs_sec": [round(w, 3) for w, _ in inc2_runs],
+        "inc_v3_runs_sec": [round(w, 3) for w, _ in inc3_runs],
         "steal_frac_full": full_steal,
         "inc_runs_sec": [round(w, 3) for w, _ in inc_runs],
         "full_runs_sec": [round(w, 3) for w, _ in full_runs],

@@ -116,6 +116,17 @@ class PipelineConfig:
                                 # the driver (16 B/edge); above, distributed
                                 # label propagation
 
+    incremental_prune_state: bool = True  # v3 fold reads: prune the
+                                # persisted prior explode partitions to
+                                # buckets a NEW key touches (key column
+                                # scan + row-group selection) before the
+                                # pair kernel.  Provably label-identical
+                                # (untouched buckets emit only prior-
+                                # prior pairs, which skip_pairs_both_in
+                                # drops regardless), so it is a layout/
+                                # perf knob excluded from config_hash;
+                                # False restores the full v2 read.
+
     # --- checkpointing ---
     checkpoint_dir: str | None = None  # None => no checkpoints
 
@@ -137,7 +148,8 @@ class PipelineConfig:
         for k in ("batch_size", "scorer_batch_size", "scorer_concurrency",
                   "num_partitions", "cc_partitions", "cc_driver_max_edges",
                   "checkpoint_dir", "verify_strategy",
-                  "verify_broadcast_max_bytes", "bucket_partitions"):
+                  "verify_broadcast_max_bytes", "bucket_partitions",
+                  "incremental_prune_state"):
             d.pop(k)
         d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()

@@ -218,13 +218,16 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     fn_win = cand.make_partition_pairs_fn(
         "fp_key", cfg.winnow_group_cap, "winnow", pair_pid_buckets=nb)
     if candidate_state_dir is not None:
+        _prune = cfg.incremental_prune_state
         fn_min = cand.make_stateful_pairs_fn(
-            candidate_state_dir, "band", fn_min, "band_key")
+            candidate_state_dir, "band", fn_min, "band_key",
+            prune=_prune)
         fn_sim = cand.make_stateful_pairs_fn(
             candidate_state_dir, "simhash", fn_sim, "chunk_key",
-            with_simhash=True)
+            with_simhash=True, prune=_prune)
         fn_win = cand.make_stateful_pairs_fn(
-            candidate_state_dir, "winnow", fn_win, "fp_key")
+            candidate_state_dir, "winnow", fn_win, "fp_key",
+            prune=_prune)
     minhash_cands = (cand.add_pid(
         sig_reps.map_batches(lambda b: band_explode(b),
                              batch_format="pyarrow",

@@ -34,14 +34,22 @@ Two fold modes:
 
 - **v1** (no ``state_dir``): the explode/bucket candidate shuffles still
   carry the prior reps' slim rows (ids + sketches, no blobs) every fold.
-- **v2** (``state_dir`` from :func:`build_incremental_state`): the prior
-  reps' explode tables are persisted once, hive-partitioned by the same
-  pid the candidate groupby uses; a fold shuffles only the NEW docs'
-  explode rows and each pair task concatenates its pid's persisted
-  partition map-side (``stages/candidates.make_stateful_pairs_fn``) —
-  exchange cost ∝ increment.  Prior rows are still *read* (sequential
-  local/shared-storage Parquet, one partition per task per family);
-  a v3 would sort state by key and load only buckets a new key touches.
+- **v2/v3** (``state_dir`` from :func:`build_incremental_state`): the
+  prior reps' explode tables are persisted once, hive-partitioned by
+  the same pid the candidate groupby uses AND sorted by bucket key
+  within each partition; a fold shuffles only the NEW docs' explode
+  rows and each pair task concatenates its pid's persisted partition
+  map-side (``stages/candidates.make_stateful_pairs_fn``) — exchange
+  cost ∝ increment.  v3 (``cfg.incremental_prune_state``, the default)
+  additionally prunes the read to buckets a NEW key touches
+  (``candidates.read_state_pruned``: key-column scan + row-group
+  selection over the sorted partitions), so the per-fold read AND the
+  pair-kernel input scale with the increment's bucket overlap, not the
+  prior corpus.  Identity argument: an untouched bucket emits only
+  prior-prior pairs, all of which ``skip_pairs_both_in`` drops before
+  verify; touched buckets keep full union-run membership, so caps /
+  salting / est-prefilter behave identically.  ``False`` restores the
+  full-partition v2 read (same labels, more I/O).
 
 Remaining trades (both modes): (a) the prior node-id membership array
 is 8 B/doc ray.put once per node — 8 GB per 10⁹ prior docs; beyond
@@ -152,6 +160,14 @@ def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
             sig_reps.map_batches(lambda b, e=exploder: e(b),
                                  batch_format="pyarrow",
                                  batch_size=None), key, nb)
+        # sort each pid partition by the bucket key so v3's pruned
+        # reads (read_state_pruned) touch row groups proportional to
+        # the increment's bucket overlap; one map_groups sort over the
+        # state build, amortized across every subsequent fold
+        rows = rows.groupby("pid").map_groups(
+            lambda g, k=key: g.sort_by([("pid", "ascending"),
+                                        (k, "ascending")]),
+            batch_format="pyarrow")
         rows.write_parquet(f"{state_dir}/{family}",
                            partition_cols=["pid"])
     with open(os.path.join(state_dir, "manifest.json"), "w") as f:

@@ -721,10 +721,62 @@ def append_pair_pid(tab: pa.Table, num_buckets: int) -> pa.Table:
     return tab.append_column("pid", pa.array(pid))
 
 
+def read_state_pruned(path: str, need: list, key_col: str,
+                      new_keys: np.ndarray) -> pa.Table | None:
+    """Key-pruned read of one persisted explode partition (incremental
+    v3, pipelines/incremental.py): scan the key COLUMN of each file
+    (~8 B/row against the sketch-dominated full row), keep only rows
+    whose bucket key appears among ``new_keys``, and read the remaining
+    columns for just the row groups containing such rows.
+
+    Because ``build_incremental_state`` writes each partition SORTED by
+    the bucket key, a touched key's rows are contiguous — the touched
+    row-group set stays proportional to the touched keys, so both I/O
+    and the downstream pair-kernel cost scale with the increment's
+    bucket overlap rather than the prior corpus.  Correctness does not
+    depend on the sort (an unsorted v2 state reads more row groups but
+    filters to the identical row set)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    nk = np.unique(np.asarray(new_keys))
+    out = []
+    for fp in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        pf = pq.ParquetFile(fp)
+        kcol = pf.read(columns=[key_col])[key_col].to_numpy(
+            zero_copy_only=False)
+        if len(kcol) == 0 or len(nk) == 0:
+            continue
+        pos = np.searchsorted(nk, kcol)
+        pos[pos == len(nk)] = 0
+        hit = nk[pos] == kcol
+        if not hit.any():
+            continue
+        if hit.all():
+            # dense overlap (the synthetic-corpus regime): every bucket
+            # is touched — skip the row-group machinery entirely
+            out.append(pf.read(columns=need))
+            continue
+        bounds = np.cumsum([pf.metadata.row_group(i).num_rows
+                            for i in range(pf.num_row_groups)])
+        hit_idx = np.flatnonzero(hit)
+        rgs = np.unique(np.searchsorted(bounds, hit_idx, "right"))
+        t = pf.read_row_groups([int(r) for r in rgs], columns=need)
+        starts = np.r_[0, bounds][rgs]
+        lens = bounds[rgs] - starts
+        local = np.concatenate([np.arange(s, s + n)
+                                for s, n in zip(starts, lens)])
+        out.append(t.filter(pa.array(hit[local])))
+    return pa.concat_tables(out) if out else None
+
+
 def make_stateful_pairs_fn(state_dir: str, family: str, inner_fn,
-                           key_col: str, with_simhash: bool = False):
+                           key_col: str, with_simhash: bool = False,
+                           prune: bool = True):
     """Wrap a pair-emission fn with a map-side read of the persisted
-    prior explode partition (incremental v2, pipelines/incremental.py).
+    prior explode partition (incremental v2/v3, pipelines/incremental.py).
 
     The group arriving from ``groupby("pid")`` carries only the NEW
     docs' explode rows; the prior corpus's rows for the same pid are
@@ -734,7 +786,17 @@ def make_stateful_pairs_fn(state_dir: str, family: str, inner_fn,
     membership, caps and salting see exactly the union-run rows, and
     the prior rows never enter a shuffle.  On a multi-node cluster the
     state dir must be shared storage (each pid partition is read by
-    exactly one task per fold)."""
+    exactly one task per fold).
+
+    With ``prune`` (v3, the default), only prior rows whose bucket key
+    is TOUCHED by a new row are loaded (:func:`read_state_pruned`).
+    Label-identity argument: an untouched bucket contributes only
+    pairs whose both endpoints are prior docs, and every such pair is
+    dropped by the fold's ``skip_pairs_both_in`` filter before verify
+    — while every touched bucket keeps its full union-run membership,
+    so caps, salting and est-prefilter behave identically there.
+    Byte-identical labels across full/v1/v2/v3 are gated in
+    tests/test_incremental.py."""
     import os
 
     import pyarrow.parquet as pq
@@ -747,8 +809,15 @@ def make_stateful_pairs_fn(state_dir: str, family: str, inner_fn,
         gt = g.select(need)
         path = os.path.join(state_dir, family, f"pid={pid}")
         if os.path.isdir(path):
-            old = pq.read_table(path, columns=need).select(need)
-            gt = pa.concat_tables([gt, old.cast(gt.schema)])
+            if prune:
+                old = read_state_pruned(
+                    path, need, key_col,
+                    gt[key_col].to_numpy(zero_copy_only=False))
+            else:
+                old = pq.read_table(path, columns=need).select(need)
+            if old is not None and old.num_rows:
+                gt = pa.concat_tables([gt, old.select(need).cast(
+                    gt.schema)])
         return inner_fn(gt)
 
     return fn

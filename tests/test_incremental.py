@@ -53,15 +53,21 @@ def test_incremental_labels_match_full_rerun(split_corpus):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_incremental_v2_state_path_matches_full_rerun(split_corpus,
-                                                      tmp_path):
+@pytest.mark.parametrize("prune", [True, False],
+                         ids=["v3-pruned", "v2-full-read"])
+def test_incremental_state_path_matches_full_rerun(split_corpus,
+                                                   tmp_path, prune):
     """v2 (persisted explode state, new-rows-only candidate shuffles)
-    must also reproduce the from-scratch labels byte-identically —
-    including across demoted prior reps (a new doc winning an exact
-    group is common under the url-hash split)."""
+    and v3 (key-pruned state reads) must both reproduce the
+    from-scratch labels byte-identically — including across demoted
+    prior reps (a new doc winning an exact group is common under the
+    url-hash split)."""
+    import dataclasses
+
     import ray.data as rd
 
     cfg, pages, prior_pages, new_pages = split_corpus
+    cfg = dataclasses.replace(cfg, incremental_prune_state=prune)
     full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
     prior = run_dedup(rd.from_arrow(prior_pages), cfg)
     state = build_incremental_state(prior, cfg, str(tmp_path / "state"))
@@ -71,6 +77,37 @@ def test_incremental_v2_state_path_matches_full_rerun(split_corpus,
     a = full.sort_values("url").reset_index(drop=True)
     b = inc.sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_state_pruned_exact_bucket_membership(tmp_path):
+    """read_state_pruned keeps EVERY row of a touched bucket key and NO
+    row of an untouched one, across row-group boundaries."""
+    import pyarrow.parquet as pq_mod
+
+    from eridu_ray.stages.candidates import read_state_pruned
+
+    # 3 buckets of 4 rows each, sorted by key, split into tiny row
+    # groups so pruning must reassemble across group boundaries
+    keys = np.repeat(np.array([10, 20, 30], np.uint64), 4)
+    t = pa.table({
+        "band_key": pa.array(keys),
+        "node_id": pa.array(np.arange(12, dtype=np.int64)),
+        "sketch": pa.array([b"s%d" % i for i in range(12)], pa.binary())})
+    d = tmp_path / "pid=0"
+    d.mkdir()
+    pq_mod.write_table(t, str(d / "part.parquet"), row_group_size=3)
+    got = read_state_pruned(str(d), ["band_key", "node_id", "sketch"],
+                            "band_key",
+                            np.array([20, 999], np.uint64))
+    assert got is not None
+    assert got["band_key"].to_pylist() == [20] * 4
+    assert got["node_id"].to_pylist() == [4, 5, 6, 7]
+    # no touched key -> nothing read
+    assert read_state_pruned(str(d), ["band_key"], "band_key",
+                             np.array([999], np.uint64)) is None
+    # empty new-key set -> nothing read
+    assert read_state_pruned(str(d), ["band_key"], "band_key",
+                             np.array([], np.uint64)) is None
 
 
 def test_incremental_v2_rejects_mismatched_state(split_corpus, tmp_path):
