@@ -357,11 +357,26 @@ def run_incremental_bench() -> dict:
                               _steal_fraction(s0, _read_steal())))
         assert n_inc == n_inc2 == n_inc3 == n_full == n_pages, (
             n_inc, n_inc2, n_inc3, n_full, n_pages)
+        # state roll-forward: O(increment) append vs O(corpus) rebuild
+        from eridu_ray.pipelines.incremental import (append_fold_state,
+                                                     save_fold_state)
+
+        s0 = _read_steal()
+        t0 = time.perf_counter()
+        append_fold_state(inc3, cfg, state)
+        append_sec = time.perf_counter() - t0
+        append_steal = _steal_fraction(s0, _read_steal())
+        s0 = _read_steal()
+        t0 = time.perf_counter()
+        save_fold_state(inc3, cfg, "/tmp/eridu_inc_state_rebuild")
+        rebuild_sec = time.perf_counter() - t0
+        rebuild_steal = _steal_fraction(s0, _read_steal())
     finally:
         ctx.shuffle_strategy = prev
         import shutil
 
         shutil.rmtree("/tmp/eridu_inc_state", ignore_errors=True)
+        shutil.rmtree("/tmp/eridu_inc_state_rebuild", ignore_errors=True)
     inc_sec, inc_steal = min(inc_runs, key=lambda r: r[0])
     inc2_sec, inc2_steal = min(inc2_runs, key=lambda r: r[0])
     inc3_sec, inc3_steal = min(inc3_runs, key=lambda r: r[0])
@@ -377,6 +392,10 @@ def run_incremental_bench() -> dict:
         "v2_speedup_vs_full": round(full_sec / inc2_sec, 2),
         "v1_speedup_vs_full": round(full_sec / inc_sec, 2),
         "state_build_sec": round(state_build_sec, 3),
+        "state_append_sec": round(append_sec, 3),
+        "state_rebuild_sec": round(rebuild_sec, 3),
+        "steal_frac_state_append": append_steal,
+        "steal_frac_state_rebuild": rebuild_steal,
         "n_pages": n_pages,
         "n_new": n_new,
         "inc_denom": inc_denom,

@@ -227,12 +227,17 @@ def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
 @click.option("--update-state/--no-update-state", default=False,
               help="Roll the state forward to the combined corpus so "
                    "the next increment folds against it")
+@click.option("--state-update-mode",
+              type=click.Choice(["append", "rebuild"]), default="append",
+              help="append: O(increment) roll-forward (explode deltas + "
+                   "signature append + label swap); rebuild: O(corpus) "
+                   "full state rebuild (compacts accumulated deltas)")
 @click.option("--scorer/--no-scorer", default=True)
 @click.option("--dup-jaccard", default=0.80, type=float)
 @click.option("--num-cpus", default=0, type=int)
 def fold(state_dir: str, input_path: str, output_dir: str,
-         update_state: bool, scorer: bool, dup_jaccard: float,
-         num_cpus: int) -> None:
+         update_state: bool, state_update_mode: str, scorer: bool,
+         dup_jaccard: float, num_cpus: int) -> None:
     """Fold a batch of NEW pages into a prior dedup state without
     re-verifying the prior corpus against itself; labels over the
     combined corpus are byte-identical to a from-scratch rerun
@@ -256,7 +261,11 @@ def fold(state_dir: str, input_path: str, output_dir: str,
         os.makedirs(output_dir, exist_ok=True)
         res.labels.write_parquet(output_dir)
         n = res.labels.count()
-        if update_state:
+        if update_state and state_update_mode == "append":
+            from eridu_ray.pipelines.incremental import append_fold_state
+
+            append_fold_state(res, cfg, state_dir)
+        elif update_state:
             import shutil
             import tempfile
 
@@ -274,7 +283,10 @@ def fold(state_dir: str, input_path: str, output_dir: str,
         click.echo(json.dumps({"labels_rows": n,
                                "counters": res.counters,
                                "output": output_dir,
-                               "state_updated": update_state}))
+                               "state_updated": update_state,
+                               "state_update_mode": (state_update_mode
+                                                     if update_state
+                                                     else None)}))
     finally:
         ray.shutdown()
 

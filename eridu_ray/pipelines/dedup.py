@@ -54,6 +54,12 @@ class DedupResult:
     span_edges: "ray.data.Dataset"     # long-shared-span pairs
     labels: "ray.data.Dataset"         # (url, component, component_size)
     counters: dict = field(default_factory=dict)
+    # fold-only handles (pipelines/incremental.py append_fold_state):
+    # the increment's own signature rows, and the union-run exact reps
+    # that are NEW docs (exactly the rows the fold's candidate shuffles
+    # carried) — both ∝ increment, None outside the v2/v3 fold path
+    new_signatures: "ray.data.Dataset | None" = None
+    state_new_reps: "ray.data.Dataset | None" = None
 
 
 def compute_signatures(pages, cfg: PipelineConfig):
@@ -170,6 +176,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         sig_reps = sig_reps.materialize()
 
     _old_ref = None
+    state_new_reps = None
     if skip_pairs_both_in is not None:
         import ray as _ray
 
@@ -188,8 +195,11 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
                 zero_copy_only=False))
             return b if bool(keep.all()) else b.filter(pa.array(keep))
 
+        # materialized: ∝ increment, feeds the three explode branches
+        # AND append_fold_state (the O(increment) state roll-forward)
         sig_reps = sig_reps.map_batches(_keep_new_nodes,
-                                        batch_format="pyarrow")
+                                        batch_format="pyarrow").materialize()
+        state_new_reps = sig_reps
     band_explode = cand.BandExploder(cfg, with_url=False)
     sim_explode = cand.SimhashChunkExploder(cfg, with_url=False)
     win_explode = cand.WinnowExploder(cfg, with_url=False)
@@ -395,7 +405,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     ckpt.write_counters()
     return DedupResult(signatures=signatures, verified=verified,
                        edges=edges, span_edges=span_edges, labels=labels,
-                       counters=dict(ckpt.counters))
+                       counters=dict(ckpt.counters),
+                       state_new_reps=state_new_reps)
 
 
 def _input_fingerprint(pages) -> str:

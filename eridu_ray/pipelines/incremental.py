@@ -51,12 +51,26 @@ Two fold modes:
   salting / est-prefilter behave identically.  ``False`` restores the
   full-partition v2 read (same labels, more I/O).
 
+State lifecycle across folds: :func:`save_fold_state` persists a
+complete fold state (signatures + labels + explode tables + manifest)
+and is O(corpus) — use it to create a state or to compact one.
+:func:`append_fold_state` rolls a state forward after a fold in
+O(increment): the fold's union-run NEW reps are exploded and APPENDED
+as per-pid delta files (pruned per-file exactly like the originals),
+the increment's signatures are appended, and only the slim label table
+is rewritten (write-new-then-swap; a ``.append_pending`` sentinel
+poisons a state left by an interrupted append).  A fold chain rolled
+forward with appends reproduces from-scratch labels byte-identically
+(tests/test_incremental.py).
+
 Remaining trades (both modes): (a) the prior node-id membership array
 is 8 B/doc ray.put once per node — 8 GB per 10⁹ prior docs; beyond
 per-node heap the filter becomes a partitioned anti-join on
 (node_a, node_b) instead.  (b) folds run un-checkpointed (the
 stage-lineage fingerprint has no meaning for a composed signature
-input).
+input).  (c) appended delta files accumulate one file set per fold;
+rebuild occasionally (CLI ``fold --state-update-mode rebuild``) to
+compact.
 
 New-batch urls must be disjoint from the prior corpus (node ids are
 stable url hashes; a re-crawled url should be dropped or versioned
@@ -113,6 +127,37 @@ def _collect_node_ids(signatures) -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
+def _write_family_explodes(sig_reps, cfg: PipelineConfig,
+                           state_dir: str) -> None:
+    """Explode a rep-signature table by each candidate family and write
+    the rows hive-partitioned by the candidate groupby's pid, each
+    partition file sorted by its bucket key (so v3's pruned reads —
+    ``candidates.read_state_pruned`` — touch row groups proportional to
+    a fold's bucket overlap).  ``write_parquet`` into an existing family
+    dir APPENDS files with unique names, which is what
+    :func:`append_fold_state` relies on: delta files are pruned per-file
+    exactly like the originals."""
+    from eridu_ray.stages import candidates as cand
+
+    nb = cfg.bucket_partitions
+    for family, exploder, key in (
+            ("band", cand.BandExploder(cfg, with_url=False), "band_key"),
+            ("simhash", cand.SimhashChunkExploder(cfg, with_url=False),
+             "chunk_key"),
+            ("winnow", cand.WinnowExploder(cfg, with_url=False),
+             "fp_key")):
+        rows = cand.add_pid(
+            sig_reps.map_batches(lambda b, e=exploder: e(b),
+                                 batch_format="pyarrow",
+                                 batch_size=None), key, nb)
+        rows = rows.groupby("pid").map_groups(
+            lambda g, k=key: g.sort_by([("pid", "ascending"),
+                                        (k, "ascending")]),
+            batch_format="pyarrow")
+        rows.write_parquet(f"{state_dir}/{family}",
+                           partition_cols=["pid"])
+
+
 def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
                             state_dir: str) -> str:
     """Persist the prior corpus's per-family explode tables for v2 folds.
@@ -149,27 +194,7 @@ def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
         expr="is_rep == True and n_shingles > 0").drop_columns(
         ["pid", "is_rep", "rep_node", "rep_url", "chash", "chash2",
          "n_shingles", "url"]).materialize()
-    nb = cfg.bucket_partitions
-    for family, exploder, key in (
-            ("band", cand.BandExploder(cfg, with_url=False), "band_key"),
-            ("simhash", cand.SimhashChunkExploder(cfg, with_url=False),
-             "chunk_key"),
-            ("winnow", cand.WinnowExploder(cfg, with_url=False),
-             "fp_key")):
-        rows = cand.add_pid(
-            sig_reps.map_batches(lambda b, e=exploder: e(b),
-                                 batch_format="pyarrow",
-                                 batch_size=None), key, nb)
-        # sort each pid partition by the bucket key so v3's pruned
-        # reads (read_state_pruned) touch row groups proportional to
-        # the increment's bucket overlap; one map_groups sort over the
-        # state build, amortized across every subsequent fold
-        rows = rows.groupby("pid").map_groups(
-            lambda g, k=key: g.sort_by([("pid", "ascending"),
-                                        (k, "ascending")]),
-            batch_format="pyarrow")
-        rows.write_parquet(f"{state_dir}/{family}",
-                           partition_cols=["pid"])
+    _write_family_explodes(sig_reps, cfg, state_dir)
     with open(os.path.join(state_dir, "manifest.json"), "w") as f:
         json.dump({"config_hash": cfg.config_hash(),
                    "bucket_partitions": cfg.bucket_partitions}, f)
@@ -180,6 +205,12 @@ def _validate_state(state_dir: str, cfg: PipelineConfig) -> None:
     import json
     import os
 
+    if os.path.exists(os.path.join(state_dir, _APPEND_SENTINEL)):
+        raise ValueError(
+            f"incremental state {state_dir!r} has an interrupted "
+            "append_fold_state (sentinel present) — its labels/"
+            "signatures/explodes may be mutually inconsistent; rebuild "
+            "it with save_fold_state from a trusted DedupResult")
     path = os.path.join(state_dir, "manifest.json")
     if not os.path.isfile(path):
         raise ValueError(f"no manifest.json in state_dir {state_dir!r} "
@@ -196,17 +227,82 @@ def _validate_state(state_dir: str, cfg: PipelineConfig) -> None:
             "prior rows from candidate buckets)")
 
 
+_APPEND_SENTINEL = ".append_pending"
+
+
 def save_fold_state(prior: DedupResult, cfg: PipelineConfig,
                     state_dir: str) -> str:
     """Persist everything a future fold needs, so increments can be
     folded across processes/days: the prior signatures and labels
     (Parquet) plus the v2 explode tables + manifest
     (:func:`build_incremental_state`).  Rewrite it from a fold's result
-    to roll the state forward to the new combined corpus.
+    to roll the state forward to the new combined corpus — O(corpus);
+    the O(increment) roll-forward is :func:`append_fold_state`.
     """
     build_incremental_state(prior, cfg, state_dir)
     prior.signatures.write_parquet(f"{state_dir}/signatures")
     prior.labels.write_parquet(f"{state_dir}/labels")
+    return state_dir
+
+
+def append_fold_state(fold: DedupResult, cfg: PipelineConfig,
+                      state_dir: str) -> str:
+    """Roll a fold state forward in O(increment) instead of rebuilding
+    it over the combined corpus (:func:`save_fold_state`).
+
+    Three appends, each proportional to the increment:
+
+    1. **explode deltas** — the fold's ``state_new_reps`` (the union-run
+       exact reps that are NEW docs: exactly the rows the fold's
+       candidate shuffles carried) are exploded per family and written
+       as NEW files under the existing ``state_dir/{family}/pid=N/``
+       partitions, sorted by bucket key so v3's per-file pruned reads
+       treat them like the originals.  Invariant preserved: the state
+       holds the current union-run rep of every exact group (plus the
+       already-documented harmless stale rows of demoted prior reps).
+    2. **signatures append** — only the increment's signature rows
+       (``new_signatures``) are added; prior docs' signatures are
+       immutable.
+    3. **labels rewrite** — prior docs' component ids CAN change when a
+       fold merges clusters, so the slim (url, component, size) table is
+       rewritten whole via write-new-then-swap.  It is the one
+       O(corpus) term, but carries no sketch payload.
+
+    Not atomic across the three steps: a ``.append_pending`` sentinel is
+    held for the duration and any state carrying it is refused by every
+    loader (``_validate_state``) — recover by rebuilding with
+    :func:`save_fold_state` from a trusted fold result.  Delta files
+    accumulate per fold; rebuild occasionally to compact (the CLI's
+    ``fold --state-update-mode rebuild``).
+    """
+    import os
+    import shutil
+
+    _validate_state(state_dir, cfg)
+    if fold.new_signatures is None or fold.state_new_reps is None:
+        raise ValueError(
+            "append_fold_state needs a DedupResult returned by "
+            "run_dedup_incremental with state_dir set (new_signatures / "
+            "state_new_reps are fold-only handles)")
+    sentinel = os.path.join(state_dir, _APPEND_SENTINEL)
+    with open(sentinel, "w") as f:
+        f.write("append_fold_state in progress\n")
+    # labels first: if we crash after the swap, signatures/explodes are
+    # still day-N consistent for every doc the OLD label table covers,
+    # and the sentinel refuses the state anyway until it is removed
+    nxt = os.path.join(state_dir, "labels.next")
+    shutil.rmtree(nxt, ignore_errors=True)
+    fold.labels.write_parquet(nxt)
+    cur = os.path.join(state_dir, "labels")
+    old = os.path.join(state_dir, "labels.prev")
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(nxt, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    fold.new_signatures.write_parquet(f"{state_dir}/signatures")
+    _write_family_explodes(fold.state_new_reps, cfg, state_dir)
+    os.remove(sentinel)
     return state_dir
 
 
@@ -266,9 +362,13 @@ def run_dedup_incremental(new_pages, prior: DedupResult,
             f"{clash[:5].tolist()}) — re-crawled urls must be dropped "
             "or versioned upstream (module docstring)")
     all_sigs = prior.signatures.union(new_sigs).materialize()
-    return run_dedup(
+    res = run_dedup(
         None, cfg,
         signatures_override=all_sigs,
         skip_pairs_both_in=prior_ids,
         extra_edges=prior_star_edges(prior.labels, cfg),
         candidate_state_dir=state_dir)
+    # fold-only handle for append_fold_state: the increment's own
+    # signature rows (∝ increment; already materialized above)
+    res.new_signatures = new_sigs
+    return res

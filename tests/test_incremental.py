@@ -158,6 +158,82 @@ def test_fold_state_roundtrip_across_processes(split_corpus, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_append_fold_state_chain_matches_full_rerun(split_corpus,
+                                                    tmp_path):
+    """Two consecutive folds rolled forward with the O(increment)
+    append_fold_state must reproduce the from-scratch labels over the
+    3-day combined corpus byte-identically — the daily-crawl loop the
+    CLI `fold --update-state` (append mode) runs."""
+    import ray.data as rd
+
+    from eridu_ray.pipelines.incremental import (append_fold_state,
+                                                 load_fold_state,
+                                                 save_fold_state)
+
+    cfg, pages, _, _ = split_corpus
+    # 3-way split by url hash: day-1 base, day-2 and day-3 increments;
+    # duplicate clusters straddle all three days
+    h = hash_strings_u64(pages["url"].to_pylist(), seed=7)
+    parts = [pages.filter(pa.array(h % np.uint64(3) == np.uint64(i)))
+             for i in range(3)]
+    assert all(p.num_rows > 0 for p in parts)
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+
+    day1 = run_dedup(rd.from_arrow(parts[0]), cfg)
+    state = save_fold_state(day1, cfg, str(tmp_path / "state"))
+    n_sigs_day1 = pq.read_table(f"{state}/signatures").num_rows
+    assert n_sigs_day1 == parts[0].num_rows
+
+    fold2 = run_dedup_incremental(rd.from_arrow(parts[1]),
+                                  load_fold_state(state, cfg), cfg,
+                                  state_dir=state)
+    fold2.labels.count()
+    append_fold_state(fold2, cfg, state)
+    # signatures grew by exactly the increment; labels cover both days
+    assert (pq.read_table(f"{state}/signatures").num_rows
+            == parts[0].num_rows + parts[1].num_rows)
+    assert (pq.read_table(f"{state}/labels").num_rows
+            == parts[0].num_rows + parts[1].num_rows)
+
+    fold3 = run_dedup_incremental(rd.from_arrow(parts[2]),
+                                  load_fold_state(state, cfg), cfg,
+                                  state_dir=state)
+    got = fold3.labels.to_pandas()
+    a = full.sort_values("url").reset_index(drop=True)
+    b = got.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # and the chain can keep rolling: append day 3 too, then reload
+    append_fold_state(fold3, cfg, state)
+    assert (pq.read_table(f"{state}/labels").num_rows
+            == pages.num_rows)
+    reloaded = load_fold_state(state, cfg)
+    assert reloaded.signatures.count() == pages.num_rows
+
+
+def test_append_fold_state_guards(split_corpus, tmp_path):
+    """append_fold_state refuses a non-fold DedupResult, and an
+    interrupted append (sentinel on disk) poisons the state for every
+    loader until it is rebuilt."""
+    import ray.data as rd
+
+    from eridu_ray.pipelines.incremental import (_APPEND_SENTINEL,
+                                                 append_fold_state,
+                                                 load_fold_state,
+                                                 save_fold_state)
+
+    cfg, _, prior_pages, new_pages = split_corpus
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    state = save_fold_state(prior, cfg, str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="fold-only"):
+        append_fold_state(prior, cfg, state)  # not a fold result
+    (tmp_path / "state" / _APPEND_SENTINEL).write_text("boom")
+    with pytest.raises(ValueError, match="interrupted"):
+        load_fold_state(state, cfg)
+    with pytest.raises(ValueError, match="interrupted"):
+        run_dedup_incremental(rd.from_arrow(new_pages), prior, cfg,
+                              state_dir=state)
+
+
 def test_incremental_rejects_recrawled_urls(split_corpus):
     """A new batch sharing urls with the prior corpus must be refused —
     node ids are url hashes, so a silent collision would emit two label
