@@ -35,10 +35,17 @@ class _RaySession:
         self._ray = ray
         self._owned = not ray.is_initialized()
         if self._owned:
-            kwargs = {"address": "local", "include_dashboard": False,
-                      "ignore_reinit_error": True}
-            if num_cpus:
-                kwargs["num_cpus"] = num_cpus
+            # honor RAY_ADDRESS so `ray job submit` drivers join the
+            # submitting cluster instead of forking a local one; absent
+            # (or preset "local", as in tests) this is a local session
+            address = os.environ.get("RAY_ADDRESS", "local")
+            kwargs = {"address": address, "ignore_reinit_error": True}
+            if address == "local":
+                # cluster-only kwargs are invalid when joining an
+                # existing cluster
+                kwargs["include_dashboard"] = False
+                if num_cpus:
+                    kwargs["num_cpus"] = num_cpus
             ray.init(**kwargs)
 
     def shutdown(self) -> None:
