@@ -145,9 +145,45 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     slim = signatures.select_columns(
         ["chash", "chash2", "node_id", "url", "n_shingles",
          "minhash", "simhash", "winnow"])
-    tagged = (cand.add_pid(slim, "chash", cfg.bucket_partitions)
+
+    _old_ref = None
+    _keep_new_nodes = None
+    state_new_reps = None
+    if skip_pairs_both_in is not None:
+        import ray as _ray
+
+        _old_ref = _ray.put(np.ascontiguousarray(
+            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
+
+        def _keep_new_nodes(b: pa.Table) -> pa.Table:
+            old = _ray.get(_old_ref)
+            keep = ~_in_sorted(old, b["node_id"].to_numpy(
+                zero_copy_only=False))
+            return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+    # incremental v4: with a persisted exact-group index in the state,
+    # the exact shuffle carries only the increment's slim rows — prior
+    # groups re-enter map-side as one synthetic rep row per TOUCHED
+    # chash (candidates.make_stateful_exact_fn).  Prior-internal exact
+    # edges are not re-emitted (their connectivity is carried by the
+    # prior star edges); labels stay byte-identical (gated).  States
+    # built before the index existed fall back to the union shuffle.
+    import os as _os
+    use_exact_state = (
+        candidate_state_dir is not None and _old_ref is not None
+        and _os.path.isdir(_os.path.join(candidate_state_dir, "exact")))
+    ckpt.counters["exact_path"] = ("state" if use_exact_state else "union")
+    if use_exact_state:
+        slim_exact = slim.map_batches(_keep_new_nodes,
+                                      batch_format="pyarrow")
+        exact_fn = cand.make_stateful_exact_fn(
+            candidate_state_dir, prune=cfg.incremental_prune_state)
+    else:
+        slim_exact = slim
+        exact_fn = cand.exact_groups_partition_fn
+    tagged = (cand.add_pid(slim_exact, "chash", cfg.bucket_partitions)
               .groupby("pid")
-              .map_groups(cand.exact_groups_partition_fn,
+              .map_groups(exact_fn,
                           batch_format="pyarrow"))
     if cfg.checkpoint_dir is None:
         tagged = tagged.materialize()
@@ -175,25 +211,16 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     if cfg.checkpoint_dir is None:
         sig_reps = sig_reps.materialize()
 
-    _old_ref = None
-    state_new_reps = None
-    if skip_pairs_both_in is not None:
-        import ray as _ray
-
-        _old_ref = _ray.put(np.ascontiguousarray(
-            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
     if candidate_state_dir is not None:
         # incremental v2: prior reps' explode rows come from the
         # persisted per-pid state inside each group task — only NEW
-        # docs' rows enter the three explode shuffles
+        # docs' rows enter the three explode shuffles (with the v4
+        # exact index, synthetic prior rep rows are also dropped here:
+        # n_shingles == 0 already excludes them, this keeps the
+        # invariant explicit and covers blob-bearing prior reps when
+        # falling back to the union exact shuffle)
         assert _old_ref is not None, \
             "candidate_state_dir requires skip_pairs_both_in"
-
-        def _keep_new_nodes(b: pa.Table) -> pa.Table:
-            old = _ray.get(_old_ref)
-            keep = ~_in_sorted(old, b["node_id"].to_numpy(
-                zero_copy_only=False))
-            return b if bool(keep.all()) else b.filter(pa.array(keep))
 
         # materialized: ∝ increment, feeds the three explode branches
         # AND append_fold_state (the O(increment) state roll-forward)
@@ -278,7 +305,34 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             return b if bool(keep.all()) else b.filter(pa.array(keep))
 
         raw_cands = raw_cands.map_batches(_drop_both_prior,
-                                          batch_format="pyarrow")
+                                          batch_format="pyarrow").materialize()
+
+    # fold regime: every surviving pair touches >= 1 new doc, so the
+    # node set appearing in pairs is ∝ increment — prune the signature
+    # side of verify AND the span-stage text join to exactly those
+    # nodes.  Inner joins / blob lookups for absent nodes matched
+    # nothing anyway, so results are byte-identical (gated in
+    # tests/test_incremental.py); what changes is that the verify blob
+    # exchange (reduce path), the broadcast blob index, and the span
+    # text join stop carrying the prior corpus's blobs every fold.
+    # The touched-id array is collected driver-side (2 int64 cols over
+    # increment-scale pair rows — bounded like skip_pairs_both_in; at
+    # corpus scales beyond driver heap this becomes a semi-join on
+    # node_id, same trade documented for the membership array).
+    verify_sigs = signatures
+    if _old_ref is not None:
+        touched = _collect_pair_nodes(raw_cands)
+        ckpt.counters["n_touched_nodes"] = int(touched.size)
+        _touched_ref = _ray.put(touched)
+
+        def _keep_touched(b: pa.Table) -> pa.Table:
+            t = _ray.get(_touched_ref)
+            keep = _in_sorted(t, b["node_id"].to_numpy(
+                zero_copy_only=False))
+            return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+        verify_sigs = signatures.map_batches(
+            _keep_touched, batch_format="pyarrow").materialize()
 
     # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
@@ -290,7 +344,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             # Below the per-node broadcast budget the blob index ships
             # once via ray.put and verify needs ZERO shuffles; above it
             # (the 10^12-doc regime) the reduce join runs as before.
-            total = signatures.select_columns(
+            total = verify_sigs.select_columns(
                 ["n_shingles"]).sum("n_shingles") or 0
             strategy = ("broadcast"
                         if total * 4 <= cfg.verify_broadcast_max_bytes
@@ -298,7 +352,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
         ckpt.counters["verify_strategy"] = strategy
         if strategy == "broadcast":
             return verify_pairs_broadcast(
-                raw_cands, signatures, cfg,
+                raw_cands, verify_sigs, cfg,
                 keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
                 dedup_winnow_min_hits=cfg.winnow_min_hits,
                 dedup_winnow_est_min=cfg.winnow_est_min)
@@ -308,7 +362,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             # pair-pid sort over the pre-dedup pair set (the flagship's
             # largest intermediate) disappears from the DAG
             return verify_pairs_reduce(
-                raw_cands, signatures, cfg,
+                raw_cands, verify_sigs, cfg,
                 keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
                 dedup_winnow_min_hits=cfg.winnow_min_hits,
                 dedup_winnow_est_min=cfg.winnow_est_min)
@@ -318,7 +372,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
                 winnow_min_hits=cfg.winnow_min_hits,
                 winnow_est_min=cfg.winnow_est_min),
                 batch_format="pyarrow"))
-        with_sets = attach_shingles(all_cands, signatures, cfg,
+        with_sets = attach_shingles(all_cands, verify_sigs, cfg,
                                     attach_urls=True)
         return with_sets.map_batches(
             jaccard_batch, batch_format="pyarrow",
@@ -367,7 +421,7 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
     # (the winnowing guarantee); filter BEFORE the text join
     span_cands = (verified.filter(expr=f"jaccard < {cfg.dup_jaccard}")
                   .map_batches(_keep_winnow_src, batch_format="pyarrow"))
-    span_edges = _verify_spans(span_cands, signatures, cfg)
+    span_edges = _verify_spans(span_cands, verify_sigs, cfg)
 
     # --- connected components + canonical labels -------------------------
     def build_labels():
@@ -427,6 +481,19 @@ def _input_fingerprint(pages) -> str:
         return ""
     return hashlib.sha256(
         json.dumps(files).encode()).hexdigest()[:16]
+
+
+def _collect_pair_nodes(pairs) -> np.ndarray:
+    """Sorted distinct int64 node ids appearing in a slim pair table."""
+    parts = []
+    for b in pairs.select_columns(["node_a", "node_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=262144):
+        parts.append(np.unique(np.concatenate([
+            b["node_a"].to_numpy(zero_copy_only=False),
+            b["node_b"].to_numpy(zero_copy_only=False)])))
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:

@@ -28,7 +28,13 @@ tests/test_incremental.py):
 
 What this buys at scale: verify blob attachment, exact-Jaccard compute,
 borderline scoring and span LCS all skip the O(prior²) pair set and pay
-only O(prior × new + new²) — the increment's actual novelty.
+only O(prior × new + new²) — the increment's actual novelty.  The
+signature side of verify and of the span text join is additionally
+pruned to pair-TOUCHED nodes (every surviving pair touches ≥ 1 new
+doc, so the touched set ∝ increment): the prior corpus's blobs stop
+entering the verify exchange / broadcast index / span join every fold
+(``run_dedup``'s ``verify_sigs``; inner joins for absent nodes matched
+nothing, so labels are unchanged — gated in tests).
 
 Two fold modes:
 
@@ -158,6 +164,37 @@ def _write_family_explodes(sig_reps, cfg: PipelineConfig,
                            partition_cols=["pid"])
 
 
+def _write_exact_index(signatures, cfg: PipelineConfig,
+                       state_dir: str) -> None:
+    """Persist the exact-group index (incremental v4): one row per
+    distinct ``(chash, chash2)`` of ``signatures`` — the group's rep
+    (min node) + url — hive-partitioned by the exact stage's own
+    pid(chash) and key-sorted per file for pruned reads.  Written from
+    the prior corpus at state build and from just the increment at
+    append time: every file carries the min over a disjoint member
+    subset, so the read-side running-min merge
+    (``candidates._min_rep_per_group``) reproduces the union-run rep."""
+    from eridu_ray.stages import candidates as cand
+
+    slim = signatures.select_columns(["chash", "chash2", "node_id", "url"])
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        t = cand.exact_groups_partition_fn(g)
+        t = t.filter(t["is_rep"])
+        return pa.table({
+            "pid": t["pid"],
+            "chash": t["chash"],
+            "chash2": t["chash2"],
+            "rep_node": t["node_id"],
+            "rep_url": t["url"],
+        }).sort_by([("pid", "ascending"), ("chash", "ascending")])
+
+    (cand.add_pid(slim, "chash", cfg.bucket_partitions)
+     .groupby("pid")
+     .map_groups(reduce_group, batch_format="pyarrow")
+     .write_parquet(f"{state_dir}/exact", partition_cols=["pid"]))
+
+
 def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
                             state_dir: str) -> str:
     """Persist the prior corpus's per-family explode tables for v2 folds.
@@ -195,6 +232,7 @@ def build_incremental_state(prior: DedupResult, cfg: PipelineConfig,
         ["pid", "is_rep", "rep_node", "rep_url", "chash", "chash2",
          "n_shingles", "url"]).materialize()
     _write_family_explodes(sig_reps, cfg, state_dir)
+    _write_exact_index(prior.signatures, cfg, state_dir)
     with open(os.path.join(state_dir, "manifest.json"), "w") as f:
         json.dump({"config_hash": cfg.config_hash(),
                    "bucket_partitions": cfg.bucket_partitions}, f)
@@ -302,6 +340,10 @@ def append_fold_state(fold: DedupResult, cfg: PipelineConfig,
     shutil.rmtree(old, ignore_errors=True)
     fold.new_signatures.write_parquet(f"{state_dir}/signatures")
     _write_family_explodes(fold.state_new_reps, cfg, state_dir)
+    if os.path.isdir(os.path.join(state_dir, "exact")):
+        # exact-index delta: the increment's per-group min rows; the
+        # read-side running-min merge yields the combined-corpus rep
+        _write_exact_index(fold.new_signatures, cfg, state_dir)
     os.remove(sentinel)
     return state_dir
 

@@ -247,6 +247,86 @@ def exact_groups_partition_fn(g: pa.Table) -> pa.Table:
     return g
 
 
+def _min_rep_per_group(tab: pa.Table) -> pa.Table:
+    """One row per distinct (chash, chash2): the min rep_node + its url.
+
+    Used to merge exact-index delta files (incremental v4): every file
+    carries the min node over a disjoint member subset, so the running
+    min over rows IS the union-run rep — order-independent."""
+    ch = tab["chash"].to_numpy(zero_copy_only=False)
+    ch2 = tab["chash2"].to_numpy(zero_copy_only=False)
+    rn = tab["rep_node"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rn, ch2, ch))
+    ch_s, ch2_s = ch[order], ch2[order]
+    first = np.concatenate(
+        [[True], (ch_s[1:] != ch_s[:-1]) | (ch2_s[1:] != ch2_s[:-1])])
+    return tab.take(pa.array(order[np.nonzero(first)[0]]))
+
+
+def make_stateful_exact_fn(state_dir: str, prune: bool = True):
+    """Exact-group fn over NEW docs' slim rows + the persisted prior
+    exact-group index (incremental v4, pipelines/incremental.py).
+
+    The index (``state_dir/exact/pid=N/``, one row per prior distinct
+    ``(chash, chash2)``: the group's rep node + url, key-sorted) is read
+    map-side — pruned to chashes the increment touches — and its rows
+    re-enter the unchanged run-detection kernel as SYNTHETIC member rows
+    (node=rep_node, url=rep_url, LSH columns null).  Because the prior
+    rep is the min node over all prior members, the merged group's rep
+    equals the union run's; edges to prior NON-rep members are not
+    re-emitted — their connectivity is already carried by the fold's
+    prior-component star edges (an exact group of size >= 2 always
+    formed a non-singleton prior component).  Labels stay byte-identical
+    to the union-shuffle path (tests/test_incremental.py); what
+    disappears is the O(corpus)-row exact shuffle every fold."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    need = ["chash", "chash2", "rep_node", "rep_url"]
+
+    def fn(g: pa.Table) -> pa.Table:
+        pid = int(g["pid"][0].as_py())
+        path = os.path.join(state_dir, "exact", f"pid={pid}")
+        old = None
+        if os.path.isdir(path):
+            if prune:
+                old = read_state_pruned(
+                    path, need, "chash",
+                    g["chash"].to_numpy(zero_copy_only=False))
+            else:
+                old = pq.read_table(path, columns=need).select(need)
+        if old is not None and old.num_rows:
+            old = _min_rep_per_group(old)
+            cols = []
+            for f in g.schema:
+                if f.name == "chash":
+                    cols.append(old["chash"].cast(f.type))
+                elif f.name == "chash2":
+                    cols.append(old["chash2"].cast(f.type))
+                elif f.name == "node_id":
+                    cols.append(old["rep_node"].cast(f.type))
+                elif f.name == "url":
+                    cols.append(old["rep_url"].cast(f.type))
+                elif f.name == "pid":
+                    cols.append(pa.array(
+                        np.full(old.num_rows, pid, np.int64)).cast(f.type))
+                elif f.name == "n_shingles":
+                    # synthetic rows must never enter the explode
+                    # branches (prior reps' explode rows live in the
+                    # family state); the sig_reps n_shingles > 0 filter
+                    # and _keep_new_nodes both exclude them
+                    cols.append(pa.array(
+                        np.zeros(old.num_rows, np.int64)).cast(f.type))
+                else:
+                    cols.append(pa.nulls(old.num_rows, f.type))
+            g = pa.concat_tables(
+                [g, pa.Table.from_arrays(cols, schema=g.schema)])
+        return exact_groups_partition_fn(g)
+
+    return fn
+
+
 # --- MinHash LSH bands ----------------------------------------------------
 
 class BandExploder:

@@ -158,6 +158,31 @@ def test_fold_state_roundtrip_across_processes(split_corpus, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_fold_without_exact_index_falls_back(split_corpus, tmp_path):
+    """A state built before the v4 exact-group index existed (no
+    ``exact/`` dir) must still fold via the union exact shuffle, with
+    identical labels — backward compatibility of persisted states."""
+    import shutil
+
+    import ray.data as rd
+
+    from eridu_ray.pipelines.incremental import (load_fold_state,
+                                                 save_fold_state)
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg)
+    state = save_fold_state(prior, cfg, str(tmp_path / "state"))
+    shutil.rmtree(tmp_path / "state" / "exact")
+    res = run_dedup_incremental(rd.from_arrow(new_pages),
+                                load_fold_state(state, cfg), cfg,
+                                state_dir=state)
+    assert res.counters["exact_path"] == "union"
+    a = full.sort_values("url").reset_index(drop=True)
+    b = res.labels.to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_append_fold_state_chain_matches_full_rerun(split_corpus,
                                                     tmp_path):
     """Two consecutive folds rolled forward with the O(increment)
