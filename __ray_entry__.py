@@ -190,10 +190,11 @@ def _q_dedup_flagship(sf_dir: str) -> Any:
 def _q_dedup_incremental(sf_dir: str) -> Any:
     """Incremental dedup (pipelines/incremental.py): the synthesized
     corpus is split in half by url hash, the first half deduped from
-    scratch and its explode state persisted, the second folded in via
-    the v2 state path (new-rows-only candidate shuffles); returns the
-    combined labels (rows-only check — byte-equality with the full
-    rerun, both v1 and v2, is gated in tests/test_incremental.py)."""
+    scratch and its explode state + exact-group index persisted, the
+    second folded in via the default state path (v3 key-pruned state
+    reads + v4 stateful exact groups, new-rows-only shuffles); returns
+    the combined labels (rows-only check — byte-equality with the full
+    rerun across v1/v2/v3/v4 is gated in tests/test_incremental.py)."""
     import shutil
     import tempfile
 

@@ -417,6 +417,11 @@ def run_incremental_bench() -> dict:
         "steal_frac_inc": inc_steal,
         "steal_frac_inc_v2": inc2_steal,
         "steal_frac_inc_v3": inc3_steal,
+        # which exact-stage path the stateful folds took ("state" = the
+        # v4 persisted exact-group index; "union" = pre-index fallback)
+        "exact_path_v2": inc2.counters.get("exact_path"),
+        "exact_path_v3": inc3.counters.get("exact_path"),
+        "n_touched_nodes_v3": inc3.counters.get("n_touched_nodes"),
         "inc_v2_runs_sec": [round(w, 3) for w, _ in inc2_runs],
         "inc_v3_runs_sec": [round(w, 3) for w, _ in inc3_runs],
         "steal_frac_full": full_steal,
