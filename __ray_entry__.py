@@ -108,16 +108,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # REAL BMP decode below — the fake path stays tested in tests/test_ops.
     from eridu_ray.stages import multimodal as mm
 
-    qs["multimodal_frames"] = mm.sample_frames
-
     # REAL decodes: pure-numpy BMP / PCM-WAV parsers over deterministic
     # synthesized payloads (rows-only; round-trip + golden-value tests in
-    # tests/test_multimodal*.py).  Both decode paths run inside ONE
-    # registry entry (r4: the separate bmp/audio rows merged to keep the
-    # registry at the driver's 50-query window) — a union of the two
-    # actor-pool stages projected to a common (payload_id, kind,
-    # m1..m4) schema; m1..m4 are width/height/channels/bytes for bmp and
-    # sample_rate/channels/duration_ms/rms_micro for wav.
+    # tests/test_multimodal*.py).  All three multimodal stages run inside
+    # ONE registry entry (r4: bmp/audio merged, then the frame-sample
+    # explode folded in too, freeing a slot for the oracle-paired
+    # semantic_dedup while keeping the registry at the driver's 50-query
+    # window) — a union of the actor-pool stages projected to a common
+    # (payload_id, kind, m1..m4) schema; m1..m4 are
+    # width/height/channels/bytes for bmp,
+    # sample_rate/channels/duration_ms/rms_micro for wav, and
+    # frame_index/offset_ms/0/0 for the 1->N frame explode.
     def _mm_decode(sf_dir: str):
         import numpy as np
         import pyarrow as pa
@@ -143,7 +144,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             proj("wav", ["sample_rate", "channels", "duration_ms",
                          "rms_micro"]),
             batch_format="pyarrow")
-        return bmp.union(wav)
+
+        def proj_frames(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "payload_id": b["payload_id"],
+                "kind": pa.array(
+                    np.full(b.num_rows, "frame", dtype=object),
+                    pa.string()),
+                "m1": pc.cast(b["frame_index"], pa.int64()),
+                "m2": pc.cast(b["offset_ms"], pa.int64()),
+                "m3": pa.array(np.zeros(b.num_rows, np.int64)),
+                "m4": pa.array(np.zeros(b.num_rows, np.int64))})
+
+        frames = mm.sample_frames(sf_dir).map_batches(
+            proj_frames, batch_format="pyarrow")
+        return bmp.union(wav).union(frames)
 
     qs["multimodal_decode"] = _mm_decode
 

@@ -547,6 +547,61 @@ def q_embedding_neardup(sf_dir):
     return neardup_pairs(emb, thresh=0.45, n_centroids=8)
 
 
+def q_semantic_dedup(sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: exact
+    cosine near-dup pairs (stages/ann.neardup_pairs, IVF-cell
+    cohabitation) -> connected components -> keep the min vec_id per
+    semantic cluster.  One row per vector: (vec_id, rep_id, keep).
+
+    Scale shape: pair generation is the cohabitation pipeline (no
+    driver pair enumeration), CC is scale-dispatched
+    (stages/components.connected_components_auto — driver union-find
+    below cc_driver_max_edges, distributed label propagation above),
+    and the final labeling is one broadcast lookup over a table
+    bounded by the TRUE near-dup count (the same bounded-artifact
+    trade as the flagship's driver-CC path); vectors absent from any
+    pair are singletons (rep = self)."""
+    import ray
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.stages.ann import neardup_pairs
+    from eridu_ray.stages.components import connected_components_auto
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = neardup_pairs(emb, thresh=0.45, n_centroids=8) \
+        .rename_columns({"vec_id_a": "node_a", "vec_id_b": "node_b"})
+    labels = connected_components_auto(edges, PipelineConfig())
+
+    node_parts, lab_parts = [], []
+    for b in labels.iter_batches(batch_format="pyarrow",
+                                 batch_size=262144):
+        node_parts.append(b["node"].to_numpy(zero_copy_only=False))
+        lab_parts.append(b["label"].to_numpy(zero_copy_only=False))
+    nodes = (np.concatenate(node_parts) if node_parts
+             else np.empty(0, np.int64))
+    labs = (np.concatenate(lab_parts) if lab_parts
+            else np.empty(0, np.int64))
+    order = np.argsort(nodes)
+    ref = ray.put((np.ascontiguousarray(nodes[order]),
+                   np.ascontiguousarray(labs[order])))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ns, ls = ray.get(ref)
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        rep = v.copy()
+        if ns.size:
+            idx = np.searchsorted(ns, v)
+            idx[idx == ns.size] = 0
+            hit = ns[idx] == v
+            rep[hit] = ls[idx[hit]]
+        return pa.table({"vec_id": pa.array(v),
+                         "rep_id": pa.array(rep),
+                         "keep": pa.array(rep == v)})
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
 # --- categorized evaluation examples (O3) ---------------------------------
 
 def q_error_examples(sf_dir):
@@ -595,6 +650,7 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "error_examples": q_error_examples,
     }
 
@@ -701,6 +757,22 @@ ORACLE_SQL: dict[str, str] = {
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND "
         "list_cosine_similarity(a.embedding::DOUBLE[], "
         "b.embedding::DOUBLE[]) >= 0.45"),
+    # CC as a recursive min-label closure: reach(v, r) enumerates every
+    # node r in v's component (components are connected, so the min is
+    # always reachable); MIN(r) per v = the Ray side's min-node label
+    "semantic_dedup": (
+        "WITH RECURSIVE pairs AS ("
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a, "
+        "embeddings b WHERE a.vec_id < b.vec_id AND "
+        "list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]) >= 0.45), "
+        "edges AS (SELECT a, b FROM pairs "
+        "UNION SELECT b AS a, a AS b FROM pairs), "
+        "reach(v, r) AS (SELECT vec_id, vec_id FROM embeddings "
+        "UNION SELECT e.a, reach.r FROM edges e "
+        "JOIN reach ON reach.v = e.b) "
+        "SELECT v AS vec_id, MIN(r) AS rep_id, (v = MIN(r)) AS keep "
+        "FROM reach GROUP BY v"),
     "error_examples": (
         "WITH s AS (SELECT event_id AS id, value AS similarity, "
         "CASE WHEN event_id % 3 = 0 THEN "

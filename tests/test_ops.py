@@ -117,6 +117,35 @@ def test_neardup_pairs_exact_vs_brute():
         assert set(pairs) == want, thresh
 
 
+def test_semantic_dedup_vs_brute():
+    """SemDeDup-style semantic dedup (pairs -> CC -> keep min per
+    cluster) matches a numpy brute-force oracle: all-pairs cosine join,
+    union-find components, min vec_id per component; singletons keep
+    themselves."""
+    from eridu_ray.kernels.unionfind import components_from_edges
+    from eridu_ray.pipelines.relational import q_semantic_dedup
+    from eridu_ray.stages.ann import _matrix, _normalize
+
+    tab = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    m = _normalize(_matrix(tab))
+    vid = tab["vec_id"].to_numpy(zero_copy_only=False)
+    sims = m @ m.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
+    nodes, labels = components_from_edges(
+        vid[ii].astype(np.int64), vid[jj].astype(np.int64))
+    want_rep = dict(zip(vid, vid))
+    want_rep.update(zip(nodes, labels))
+
+    got = q_semantic_dedup(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert len(got) == len(vid)
+    for _, row in got.iterrows():
+        assert row.rep_id == want_rep[row.vec_id], row.vec_id
+        assert row.keep == (row.rep_id == row.vec_id)
+    assert (~got.keep).sum() == len(vid) - len(set(want_rep.values()))
+
+
 def test_neardup_pairs_replication_prunes():
     """At a near-dup threshold the per-vector probe fan-out (the op's
     only source of extra work) is well below n_cells — the candidate
