@@ -125,7 +125,7 @@ def run_bench() -> dict:
                   "exact_dedup", "embedding_topk", "token_counts",
                   "anti_join", "grouped_topk", "asof_join",
                   "length_percentiles", "decontaminate",
-                  "repetition_quality"):
+                  "repetition_quality", "semantic_dedup"):
         fn = registry.get(qname) or relational.build_queries()[qname]
         runs = []
         for _ in range(max(1, best_of)):
