@@ -235,10 +235,15 @@ def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
               help="Roll the state forward to the combined corpus so "
                    "the next increment folds against it")
 @click.option("--state-update-mode",
-              type=click.Choice(["append", "rebuild"]), default="append",
+              type=click.Choice(["append", "append-compact", "rebuild"]),
+              default="append",
               help="append: O(increment) roll-forward (explode deltas + "
-                   "signature append + label swap); rebuild: O(corpus) "
-                   "full state rebuild (compacts accumulated deltas)")
+                   "signature append + label swap); append-compact: "
+                   "append, then merge each partition's accumulated "
+                   "delta files into one sorted file — O(state) I/O, no "
+                   "signature recompute (run periodically so v3's "
+                   "per-file key scans stop growing with fold count); "
+                   "rebuild: O(corpus) full state rebuild")
 @click.option("--scorer/--no-scorer", default=True)
 @click.option("--dup-jaccard", default=0.80, type=float)
 @click.option("--num-cpus", default=0, type=int)
@@ -268,10 +273,14 @@ def fold(state_dir: str, input_path: str, output_dir: str,
         os.makedirs(output_dir, exist_ok=True)
         res.labels.write_parquet(output_dir)
         n = res.labels.count()
-        if update_state and state_update_mode == "append":
-            from eridu_ray.pipelines.incremental import append_fold_state
+        if update_state and state_update_mode in ("append",
+                                                  "append-compact"):
+            from eridu_ray.pipelines.incremental import (
+                append_fold_state, compact_fold_state)
 
             append_fold_state(res, cfg, state_dir)
+            if state_update_mode == "append-compact":
+                compact_fold_state(cfg, state_dir)
         elif update_state:
             import shutil
             import tempfile
@@ -294,6 +303,38 @@ def fold(state_dir: str, input_path: str, output_dir: str,
                                "state_update_mode": (state_update_mode
                                                      if update_state
                                                      else None)}))
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# compact — out-of-band fold-state maintenance (pipelines/incremental.py)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@click.option("--state", "state_dir", required=True,
+              help="Fold state rolled forward by `fold --update-state`")
+@click.option("--scorer/--no-scorer", default=True,
+              help="Must match the state's manifest (as for fold)")
+@click.option("--dup-jaccard", default=0.80, type=float,
+              help="Must match the state's manifest (as for fold)")
+@click.option("--num-cpus", default=0, type=int)
+def compact(state_dir: str, scorer: bool, dup_jaccard: float,
+            num_cpus: int) -> None:
+    """Merge each state partition's accumulated append-delta files into
+    one key-sorted file — O(state) I/O, NO signature recompute
+    (incremental.compact_fold_state).  Run between daily
+    `fold --update-state` runs (e.g. weekly) so the per-file key scans
+    of pruned state reads stop growing with fold count; the exact index
+    also sheds superseded rep rows.  Fold labels are unaffected."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.config import PipelineConfig
+        from eridu_ray.pipelines.incremental import compact_fold_state
+
+        cfg = PipelineConfig(dup_jaccard=dup_jaccard,
+                             use_scorer_edges=scorer)
+        stats = compact_fold_state(cfg, state_dir)
+        click.echo(json.dumps({"state": state_dir, "families": stats}))
     finally:
         ray.shutdown()
 

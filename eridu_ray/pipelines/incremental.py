@@ -348,6 +348,97 @@ def append_fold_state(fold: DedupResult, cfg: PipelineConfig,
     return state_dir
 
 
+def compact_fold_state(cfg: PipelineConfig, state_dir: str) -> dict:
+    """Merge each state partition's accumulated append-delta files into
+    one key-sorted file — O(state) I/O, NO signature recompute (contrast
+    :func:`save_fold_state`'s O(corpus) rebuild, which re-runs the exact
+    stage and all three exploders over the full corpus).
+
+    Why: :func:`append_fold_state` adds one file set per fold, and
+    ``read_state_pruned`` scans the key column of EVERY file in a
+    partition — after many folds the per-fold key-scan cost creeps from
+    O(state) toward O(state × folds).  Compaction restores one sorted
+    file per partition, so row-group pruning is maximally effective
+    again.  The exact index additionally drops superseded rep rows
+    (the running-min merge of ``candidates._min_rep_per_group`` applied
+    at rest), shrinking it back to one row per live exact group.
+
+    Execution shape: a flat Ray task fan-out — one task per pid
+    partition (``from_items`` over partition dirs, no shuffle; each
+    task reads its own files, sorts, writes one replacement file).
+    Crash safety: the same ``.append_pending`` sentinel protocol as
+    append — a compaction that dies mid-way leaves the sentinel and
+    every loader refuses the state (rebuild to recover).  Single-pid
+    partitions that are already one file are skipped.
+
+    Returns per-family ``{files_before, files_after, rows}`` counters.
+    """
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eridu_ray.stages.candidates import _min_rep_per_group
+
+    _validate_state(state_dir, cfg)
+
+    jobs = []
+    for family, key in (("band", "band_key"), ("simhash", "chunk_key"),
+                        ("winnow", "fp_key"), ("exact", "chash")):
+        fam_dir = os.path.join(state_dir, family)
+        if not os.path.isdir(fam_dir):
+            continue
+        for pid_dir in sorted(glob.glob(os.path.join(fam_dir, "pid=*"))):
+            n_files = len(glob.glob(os.path.join(pid_dir, "*.parquet")))
+            # a 1-file exact partition may still hold superseded rep
+            # rows from the build/append split — always re-merge exact
+            if n_files > 1 or (family == "exact" and n_files == 1):
+                jobs.append({"dir": pid_dir, "key": key,
+                             "family": family, "files": n_files})
+    stats = {f: {"files_before": 0, "files_after": 0, "rows": 0}
+             for f in ("band", "simhash", "winnow", "exact")}
+    if not jobs:
+        return stats
+
+    sentinel = os.path.join(state_dir, _APPEND_SENTINEL)
+    with open(sentinel, "w") as f:
+        f.write("compact_fold_state in progress\n")
+
+    def compact_one(b: pa.Table) -> pa.Table:
+        out = []
+        for row in b.to_pylist():
+            d, key, family = row["dir"], row["key"], row["family"]
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            tab = pa.concat_tables([pq.read_table(fp) for fp in files])
+            if family == "exact":
+                tab = _min_rep_per_group(tab)
+            tab = tab.sort_by([(key, "ascending")])
+            nxt = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tab, nxt)
+            for fp in files:  # new file is durable before olds vanish
+                os.remove(fp)
+            out.append({"family": family, "files_before": len(files),
+                        "rows": tab.num_rows})
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {"family": pa.array([], pa.string()),
+             "files_before": pa.array([], pa.int64()),
+             "rows": pa.array([], pa.int64())})
+
+    res = (rd.from_items(jobs, override_num_blocks=len(jobs))
+           .map_batches(compact_one, batch_format="pyarrow",
+                        batch_size=1))
+    for b in res.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            s = stats[row["family"]]
+            s["files_before"] += row["files_before"]
+            s["files_after"] += 1
+            s["rows"] += row["rows"]
+    os.remove(sentinel)
+    return stats
+
+
 def load_fold_state(state_dir: str, cfg: PipelineConfig) -> DedupResult:
     """Load a :func:`save_fold_state` dir as the ``prior`` of a fold.
 

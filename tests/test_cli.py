@@ -148,8 +148,23 @@ def test_fold_cli_matches_full_dedup(runner, ray_session, tmp_path,
     assert res.exit_code == 0, res.output
     fold_out = str(tmp_path / "fold_labels")
     res = runner.invoke(cli, ["fold", "--state", state, "--input", new_p,
-                              "--output", fold_out, "--update-state"])
+                              "--output", fold_out, "--update-state",
+                              "--state-update-mode", "append-compact"])
     assert res.exit_code == 0, res.output
+    # append-compact left every family partition as ONE sorted file
+    import glob
+
+    for d in glob.glob(os.path.join(state, "*", "pid=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    # standalone out-of-band `compact` command: runs clean and is
+    # idempotent on an already-compacted state (the work-doing path is
+    # gated by test_incremental.test_compact_fold_state_preserves_labels)
+    res = runner.invoke(cli, ["compact", "--state", state])
+    assert res.exit_code == 0, res.output
+    fams = _last_json(res.output)["families"]
+    assert set(fams) == {"band", "simhash", "winnow", "exact"}
+    for d in glob.glob(os.path.join(state, "*", "pid=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
     a = pq.read_table(full_out).to_pandas().sort_values(
         "url").reset_index(drop=True)
     b = pq.read_table(fold_out).to_pandas().sort_values(

@@ -235,6 +235,64 @@ def test_append_fold_state_chain_matches_full_rerun(split_corpus,
     assert reloaded.signatures.count() == pages.num_rows
 
 
+def test_compact_fold_state_preserves_labels(split_corpus, tmp_path):
+    """append → compact → next fold reproduces the from-scratch labels;
+    every compacted partition collapses to ONE key-sorted file (so v3's
+    per-file key scans stop growing with fold count) and the exact
+    index sheds superseded rep rows — all without the O(corpus)
+    rebuild (no signature recompute)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from eridu_ray.pipelines.incremental import (append_fold_state,
+                                                 compact_fold_state,
+                                                 load_fold_state,
+                                                 save_fold_state)
+
+    cfg, pages, _, _ = split_corpus
+    h = hash_strings_u64(pages["url"].to_pylist(), seed=7)
+    parts = [pages.filter(pa.array(h % np.uint64(3) == np.uint64(i)))
+             for i in range(3)]
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+
+    day1 = run_dedup(rd.from_arrow(parts[0]), cfg)
+    state = save_fold_state(day1, cfg, str(tmp_path / "state"))
+    fold2 = run_dedup_incremental(rd.from_arrow(parts[1]),
+                                  load_fold_state(state, cfg), cfg,
+                                  state_dir=state)
+    fold2.labels.count()
+    append_fold_state(fold2, cfg, state)
+
+    multi = [d for d in glob.glob(f"{state}/*/pid=*")
+             if len(glob.glob(os.path.join(d, "*.parquet"))) > 1]
+    assert multi, "append should have left delta files to compact"
+    n_exact_before = pq.read_table(f"{state}/exact").num_rows
+
+    stats = compact_fold_state(cfg, state)
+    assert sum(s["files_before"] for s in stats.values()) > \
+        sum(s["files_after"] for s in stats.values())
+    for d in glob.glob(f"{state}/*/pid=*"):
+        if os.path.basename(os.path.dirname(d)) in (
+                "band", "simhash", "winnow", "exact"):
+            assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    # running-min merge applied at rest: one row per live exact group
+    exact = pq.read_table(f"{state}/exact")
+    keys = list(zip(exact["chash"].to_pylist(),
+                    exact["chash2"].to_pylist()))
+    assert len(keys) == len(set(keys))
+    assert exact.num_rows <= n_exact_before
+
+    fold3 = run_dedup_incremental(rd.from_arrow(parts[2]),
+                                  load_fold_state(state, cfg), cfg,
+                                  state_dir=state)
+    assert fold3.counters["exact_path"] == "state"
+    a = full.sort_values("url").reset_index(drop=True)
+    b = fold3.labels.to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_append_fold_state_guards(split_corpus, tmp_path):
     """append_fold_state refuses a non-fold DedupResult, and an
     interrupted append (sentinel on disk) poisons the state for every
