@@ -380,6 +380,14 @@ def run_incremental_bench() -> dict:
         append_fold_state(inc3, cfg, state)
         append_sec = time.perf_counter() - t0
         append_steal = _steal_fraction(s0, _read_steal())
+        # O(state) compaction of the delta files the append just left
+        from eridu_ray.pipelines.incremental import compact_fold_state
+
+        s0 = _read_steal()
+        t0 = time.perf_counter()
+        compact_stats = compact_fold_state(cfg, state)
+        compact_sec = time.perf_counter() - t0
+        compact_steal = _steal_fraction(s0, _read_steal())
         s0 = _read_steal()
         t0 = time.perf_counter()
         save_fold_state(inc3, cfg, "/tmp/eridu_inc_state_rebuild")
@@ -407,9 +415,13 @@ def run_incremental_bench() -> dict:
         "v1_speedup_vs_full": round(full_sec / inc_sec, 2),
         "state_build_sec": round(state_build_sec, 3),
         "state_append_sec": round(append_sec, 3),
+        "state_compact_sec": round(compact_sec, 3),
         "state_rebuild_sec": round(rebuild_sec, 3),
         "steal_frac_state_append": append_steal,
+        "steal_frac_state_compact": compact_steal,
         "steal_frac_state_rebuild": rebuild_steal,
+        "compact_files_merged": sum(
+            s["files_before"] for s in compact_stats.values()),
         "n_pages": n_pages,
         "n_new": n_new,
         "inc_denom": inc_denom,

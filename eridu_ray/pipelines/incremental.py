@@ -426,9 +426,16 @@ def compact_fold_state(cfg: PipelineConfig, state_dir: str) -> dict:
              "files_before": pa.array([], pa.int64()),
              "rows": pa.array([], pa.int64())})
 
-    res = (rd.from_items(jobs, override_num_blocks=len(jobs))
+    # one TASK per pid dir would be launch-overhead-bound on small
+    # states (4 families × bucket_partitions dirs of a few KB each);
+    # pack dirs into at most 4×num_partitions blocks — each task loops
+    # its dirs sequentially, and on a real cluster the block count
+    # (not dirs-per-block) is the concurrency, so big states still fan
+    # out as wide as every other shuffle stage
+    n_blocks = max(1, min(len(jobs), 4 * cfg.num_partitions))
+    res = (rd.from_items(jobs, override_num_blocks=n_blocks)
            .map_batches(compact_one, batch_format="pyarrow",
-                        batch_size=1))
+                        batch_size=max(1, -(-len(jobs) // n_blocks))))
     for b in res.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
             s = stats[row["family"]]
