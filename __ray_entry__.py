@@ -83,14 +83,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs["doc_embeddings"] = encode_documents
 
-    # text-dedup operator family over documents (rows-only checks; brute
-    # -force oracles live in tests/test_ops.py)
+    # text-dedup operator family over documents (rows-only check; brute
+    # -force oracles live in tests/test_ops.py).  r4: the four variants
+    # (minhash / simhash / ngram-jaccard / exact) merged into ONE tagged
+    # union entry so all four paths execute inside a single driver row —
+    # the 3 freed slots carry the oracle-paired curation family below
     from eridu_ray.pipelines import text_dedup as td
 
-    qs["text_minhash_pairs"] = td.minhash_lsh_pairs
-    qs["text_simhash_pairs"] = td.simhash_pairs
-    qs["text_ngram_jaccard_pairs"] = td.ngram_jaccard_pairs
-    qs["text_exact_hash_pairs"] = td.exact_hash_pairs
+    qs["text_dedup_pairs"] = td.text_dedup_pairs
+
+    # LLM-corpus curation family (all oracle-paired): C4/Gopher-style
+    # per-doc quality verdicts, CCNet-style boilerplate n-gram
+    # detection, and per-source-pair n-gram overlap analysis
+    from eridu_ray.pipelines.curation import CURATION_QUERIES
+
+    qs.update(CURATION_QUERIES)
 
     # ANN over embeddings (rows-only; IVF recall gated in tests)
     def _ann_ivf(sf_dir: str):
@@ -251,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
+    from eridu_ray.pipelines.curation import ORACLE_SQL as CUR_SQL
     from eridu_ray.pipelines.decontaminate import DECONTAMINATE_SQL
     from eridu_ray.pipelines.relational import ORACLE_SQL
     from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
@@ -259,4 +267,4 @@ def oracle_sql() -> dict[str, str]:
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
     return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **CSV_SQL, **AUG_SQL,
-            "decontaminate": DECONTAMINATE_SQL}
+            **CUR_SQL, "decontaminate": DECONTAMINATE_SQL}

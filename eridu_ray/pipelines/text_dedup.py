@@ -165,3 +165,40 @@ def _pairs_out(ds, with_jaccard: bool = True):
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def text_dedup_pairs(sf_dir: str) -> pa.Table:
+    """Driver registry entry: the four pair-emitting text-dedup variants
+    (MinHash-LSH verified, SimHash pigeonhole, n-gram Jaccard join,
+    exact content hash) merged into ONE tagged result so all four paths
+    execute inside a single CORRECTNESS row (the 50-query driver window;
+    same consolidation pattern as ``multimodal_decode``).  Columns:
+    (method, doc_id_a, doc_id_b) — jaccard is dropped here (engine
+    -defined float; the individual queries keep it and stay importable,
+    tested against brute-force oracles in tests/test_ops.py).
+
+    The variants run SEQUENTIALLY and each pair set (tiny by design —
+    near-dup pairs, not the corpus) is collected and tagged driver-side:
+    a lazy ``Dataset.union`` would execute all three multi-shuffle DAGs
+    concurrently, and their groupby aggregators livelock each other on
+    small CPU budgets (the reserve-a-CPU hazard bench.py documents)."""
+    schema = pa.schema([("method", pa.string()),
+                        ("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
+
+    def collect(res, method: str) -> pa.Table:
+        t = res if isinstance(res, pa.Table) else pa.concat_tables(
+            [schema.empty_table().select(["doc_id_a", "doc_id_b"])]
+            + [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+               else b
+               for b in res.select_columns(["doc_id_a", "doc_id_b"])
+               .iter_batches(batch_format="pyarrow")])
+        tag = pa.array(np.full(t.num_rows, method, dtype=object),
+                       pa.string())
+        return pa.table({"method": tag, "doc_id_a": t["doc_id_a"],
+                         "doc_id_b": t["doc_id_b"]}).cast(schema)
+
+    return pa.concat_tables([
+        collect(minhash_lsh_pairs(sf_dir), "minhash"),
+        collect(simhash_pairs(sf_dir), "simhash"),
+        collect(ngram_jaccard_pairs(sf_dir), "ngram_jaccard"),
+        collect(exact_hash_pairs(sf_dir), "exact")])

@@ -70,7 +70,12 @@ def test_rows_only_queries_run():
     test_pipeline/test_evaluate; ANN -> test_ops; multimodal decode ->
     test_ops).  The driver sweeps every entry at sf0.01 regardless."""
     qs = ENTRYMOD.queries()
-    for name in ("lang_id", "text_exact_hash_pairs", "multimodal_decode",
-                 "checks_conformance"):
+    for name in ("lang_id", "multimodal_decode", "checks_conformance"):
         df = _to_pandas(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) > 0, name
+    # the merged text-dedup entry must exercise all variant paths that
+    # produce pairs at this sf (exact-dup pairs are 0 by construction)
+    td = _to_pandas(qs["text_dedup_pairs"](SF_DIR))
+    assert set(td.columns) == {"method", "doc_id_a", "doc_id_b"}
+    assert {"minhash", "simhash", "ngram_jaccard"} <= set(td["method"]), \
+        sorted(set(td["method"]))
