@@ -125,7 +125,9 @@ def run_bench() -> dict:
                   "exact_dedup", "embedding_topk", "token_counts",
                   "anti_join", "grouped_topk", "asof_join",
                   "length_percentiles", "decontaminate",
-                  "repetition_quality", "semantic_dedup"):
+                  "repetition_quality", "semantic_dedup",
+                  "c4_quality_filter", "boilerplate_ngrams",
+                  "source_ngram_overlap"):
         fn = registry.get(qname) or relational.build_queries()[qname]
         runs = []
         for _ in range(max(1, best_of)):
