@@ -361,18 +361,22 @@ def q_join_agg(sf_dir):
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    nmap = {r["n_nationkey"]: r["n_name"] for r in nation}
+    # dense nationkey -> name lookup (keys are small ints); pa.take is a
+    # vectorized gather, no per-row Python in the post-join stage
+    nkeys = np.array([r["n_nationkey"] for r in nation], np.int64)
+    names = pa.array([r["n_name"] for r in nation], pa.string())
+    lut = np.full(int(nkeys.max()) + 1, -1, np.int64)
+    lut[nkeys] = np.arange(len(nkeys))
 
     joined = orders.join(cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def add_nation(b: pa.Table) -> pa.Table:
-        nk = b["c_nationkey"].to_pylist()
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
         cents = np.rint(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        return pa.table({"n_name": pa.array([nmap[k] for k in nk],
-                                            pa.string()),
+        return pa.table({"n_name": names.take(pa.array(lut[nk])),
                          "price_cents": pa.array(cents)})
 
     return (joined.map_batches(add_nation, batch_format="pyarrow")
