@@ -53,11 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["dedup_flagship"] = _q_dedup_flagship
     qs["dedup_incremental"] = _q_dedup_incremental
 
-    # CSV source/sink round-trips (S3/S8/S9; oracle-paired)
+    # CSV source/sink round-trips (S3/S8/S9; oracle-paired — merged
+    # into one tagged row r4 to free a slot for substring_cut)
     from eridu_ray.sources import csv_io
 
-    qs["csv_roundtrip"] = csv_io.q_csv_roundtrip
-    qs["gzcsv_to_parquet"] = csv_io.q_gzcsv_to_parquet
+    qs["csv_io_roundtrip"] = csv_io.q_csv_io
 
     # flat-map augmentation family (M8/M9/M10; oracle-paired)
     from eridu_ray.stages import augment
@@ -91,6 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from eridu_ray.pipelines import text_dedup as td
 
     qs["text_dedup_pairs"] = td.text_dedup_pairs
+
+    # substring dedup: suffix-array-verified shared spans excised from
+    # the non-canonical doc (Lee et al. 2022-style duplicate-span
+    # removal; rows-only — planted-span golden tests in
+    # tests/test_substring.py)
+    from eridu_ray.pipelines.substring import q_substring_cut
+
+    qs["substring_cut"] = q_substring_cut
 
     # LLM-corpus curation family (all oracle-paired): C4/Gopher-style
     # per-doc quality verdicts, CCNet-style boilerplate n-gram

@@ -116,6 +116,16 @@ class PipelineConfig:
                                 # the driver (16 B/edge); above, distributed
                                 # label propagation
 
+    span_strategy: str = "hash"  # span-verify kernel: "hash" = rolling-
+                                # hash binary search (length only,
+                                # ~6x faster per pair); "sa" = true
+                                # generalized suffix array (collision-
+                                # free, also yields span offsets).
+                                # Both return the exact longest-shared-
+                                # run length (identity asserted in
+                                # tests), so it is a layout knob
+                                # excluded from config_hash.
+
     incremental_prune_state: bool = True  # v3 fold reads: prune the
                                 # persisted prior explode partitions to
                                 # buckets a NEW key touches (key column
@@ -149,7 +159,7 @@ class PipelineConfig:
                   "num_partitions", "cc_partitions", "cc_driver_max_edges",
                   "checkpoint_dir", "verify_strategy",
                   "verify_broadcast_max_bytes", "bucket_partitions",
-                  "incremental_prune_state"):
+                  "incremental_prune_state", "span_strategy"):
             d.pop(k)
         d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()

@@ -537,43 +537,56 @@ def _singleton_label_batch(batch: pa.Table) -> pa.Table:
 
 
 def _span_join(span_cands, signatures, cfg: PipelineConfig):
-    """Texts joined onto sub-threshold winnow candidates, evenly split.
+    """Texts attached onto sub-threshold winnow candidates, evenly split.
+
+    The attach is the join-free union + pid-groupby pattern
+    (verify.attach_texts): span candidates arrive from a groupby, whose
+    empty partitions emit schema-less 0-column blocks that crash Ray's
+    hash-shuffle JoinOperator ("No match ... for key field node_b") —
+    sort/groupby tolerate them.  Also drops two JoinOperators from the
+    flagship DAG.
 
     The trailing even repartition bounds per-task rows of the (per-pair
-    Python) LCS stage at ceil(n_pairs / num_partitions): the text joins
-    hash-partition on node ids, so a pathological flood of winnow-tagged
-    pairs sharing one hot document would otherwise land in ONE join
+    Python) LCS stage at ceil(n_pairs / num_partitions): the attach
+    groups by node pid, so a pathological flood of winnow-tagged
+    pairs sharing one hot document would otherwise land in ONE
     output block and serialize the whole LCS pass in a single task
     (VERDICT r3 #7).  The span-candidate set is junk-guard-bounded, so
-    the split is cheap relative to the two joins."""
-    texts = signatures.select_columns(["node_id", "text"])
-    a_side = texts.rename_columns({"text": "text_a", "node_id": "ta_key"})
-    b_side = texts.rename_columns({"text": "text_b", "node_id": "tb_key"})
+    the split is cheap relative to the two attach shuffles."""
+    from eridu_ray.stages.verify import attach_texts
+
     sub = span_cands.select_columns(
         ["node_a", "node_b", "url_a", "url_b", "src", "jaccard"])
-    joined = (sub.join(a_side, join_type="inner",
-                       num_partitions=cfg.num_partitions,
-                       on=("node_a",), right_on=("ta_key",))
-              .join(b_side, join_type="inner",
-                    num_partitions=cfg.num_partitions,
-                    on=("node_b",), right_on=("tb_key",)))
+    joined = attach_texts(sub, signatures, cfg)
     return joined.repartition(cfg.num_partitions)
 
 
 def _verify_spans(span_cands, signatures, cfg: PipelineConfig):
-    """Join texts for sub-threshold winnow candidates, verify LCS length."""
+    """Join texts for sub-threshold winnow candidates, verify LCS length.
+
+    The verifier kernel is strategy-dispatched (cfg.span_strategy):
+    "hash" = rolling-hash binary search (default — length only, faster);
+    "sa" = generalized suffix array (collision-free; the same kernel
+    substring-cut uses for offsets).  Identical span_len either way
+    (asserted in tests/test_pipeline.py)."""
     joined = _span_join(span_cands, signatures, cfg)
 
     min_span = cfg.min_shared_span
+    use_sa = cfg.span_strategy == "sa"
 
     def lcs_batch(batch: pa.Table) -> pa.Table:
         from eridu_ray.kernels.shingle import shared_run_length
+        from eridu_ray.kernels.suffix import pair_longest_span
+
+        def span_len(x: str, y: str) -> int:
+            if use_sa:
+                return pair_longest_span(x, y, min_len=min_span)[0]
+            return shared_run_length(x, y, min_len=min_span)
 
         srcs = batch["src"].to_pylist()
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
-        spans = [shared_run_length(x, y, min_len=min_span)
-                 if "winnow" in s else 0
+        spans = [span_len(x, y) if "winnow" in s else 0
                  for s, x, y in zip(srcs, ta, tb)]
         # canonical orientation: url_a < url_b (FIXTURES.md F2)
         ua = batch["url_a"].to_pylist()

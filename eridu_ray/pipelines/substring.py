@@ -1,0 +1,235 @@
+"""Substring (long-shared-span) dedup over documents — spans + cut.
+
+The north-star pipeline names a suffix-array substring-dedup stage.  The
+flagship (pipelines/dedup.py) emits span *edges* (length only) for
+clustering; this module exposes the substring family as standalone
+operators over ``documents.parquet`` and adds the second half of the
+technique: **duplicate-span removal** (Lee et al. 2022,
+arXiv:2107.06499 — train-data dedup by excising repeated substrings
+rather than dropping whole documents).
+
+Stages (all Ray-Data, streaming):
+
+1. winnowing fingerprints as span candidates (kernels/shingle.py —
+   shared span >= window + k - 1 chars guarantees a shared fingerprint),
+   hot buckets triangle-salted so pair recall survives boilerplate
+   floods (stages/candidates.make_salted_explode);
+2. exact verification by **generalized suffix array**
+   (kernels/suffix.pair_longest_span): collision-free longest common
+   substring WITH offsets in both docs — the rolling-hash verifier is
+   length-only, which cut cannot use;
+3. cut: spans grouped per victim doc (the larger doc_id — keep-first
+   orientation), overlapping intervals merged vectorized, and the
+   victim's text excised.
+
+Scale notes: candidate + verify shuffles are the flagship's (salted
+buckets, ids-only pair rows until the text attach); every
+pair->signature / cut->document attach is the join-free union +
+pid-groupby pattern (stages/verify.attach_texts and the local kind-run
+variant here) — groupby outputs carry schema-less empty blocks that
+crash Ray's JoinOperator, and pid bucketing amortizes group overhead
+over ~bucket_partitions groups instead of one per distinct doc_id.
+Nothing materializes the corpus driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eridu_ray.config import PipelineConfig
+from eridu_ray.pipelines.text_dedup import (_documents_as_pages,
+                                            _salted_candidate_pairs,
+                                            _signatures)
+from eridu_ray.stages import candidates as cand
+
+#: span threshold for the documents-table operators — the flagship's 200
+#: assumes ~2.8 KB Common-Crawl pages; testdata documents average ~290
+#: chars, so the standalone family verifies at 100 (still far above the
+#: winnowing guarantee window + k - 1 = 68).
+DOC_MIN_SPAN = 100
+
+
+def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
+                    min_span: int = DOC_MIN_SPAN):
+    """(doc_id_a, doc_id_b, span_len, pos_a, pos_b) for every winnow
+    candidate pair sharing an exact span >= min_span chars.
+
+    doc_id_a < doc_id_b always; (pos_a, pos_b) locate one maximal shared
+    span (the suffix-array argmax — deterministic given the texts).
+    """
+    from eridu_ray.stages.verify import attach_texts
+
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    sigs = _signatures(sf_dir, cfg).materialize()
+    pairs = _salted_candidate_pairs(
+        sigs, cfg, cand.WinnowExploder(cfg), "fp_key", "winnow",
+        est_min=None)
+
+    def widen(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "node_a": b["node_a"], "node_b": b["node_b"],
+            "url_a": b["url_a"], "url_b": b["url_b"],
+            "src": pa.nulls(n, pa.string()),
+            "jaccard": pa.nulls(n, pa.float64())})
+
+    joined = attach_texts(
+        pairs.map_batches(widen, batch_format="pyarrow"), sigs, cfg
+    ).repartition(cfg.num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from eridu_ray.kernels.suffix import pair_longest_span
+
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        ids_a = np.array([int(u) for u in batch["url_a"].to_pylist()],
+                         np.int64)
+        ids_b = np.array([int(u) for u in batch["url_b"].to_pylist()],
+                         np.int64)
+        n = batch.num_rows
+        ln = np.zeros(n, np.int64)
+        pos_a = np.full(n, -1, np.int64)
+        pos_b = np.full(n, -1, np.int64)
+        for i in range(n):
+            length, xa, xb = pair_longest_span(ta[i], tb[i],
+                                               min_len=min_span)
+            # orient to doc_id order (keep-first: a = smaller id)
+            if ids_a[i] <= ids_b[i]:
+                ln[i], pos_a[i], pos_b[i] = length, xa, xb
+            else:
+                ids_a[i], ids_b[i] = ids_b[i], ids_a[i]
+                ln[i], pos_a[i], pos_b[i] = length, xb, xa
+        return pa.table({
+            "doc_id_a": pa.array(ids_a), "doc_id_b": pa.array(ids_b),
+            "span_len": pa.array(ln),
+            "pos_a": pa.array(pos_a), "pos_b": pa.array(pos_b)})
+
+    return (joined.map_batches(verify, batch_format="pyarrow",
+                               batch_size=256)
+            .filter(expr=f"span_len >= {min_span}"))
+
+
+_CUT_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("kind", pa.int8()), ("text", pa.string()),
+    ("cut_start", pa.int64()), ("cut_end", pa.int64()),
+])
+
+_CUT_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_spans", pa.int64()),
+    ("removed_chars", pa.int64()), ("text_cut", pa.string()),
+])
+
+
+def _merge_runs(start: np.ndarray, end: np.ndarray):
+    """Merge overlapping sorted-by-start intervals; returns
+    (merged_start, merged_end, n_inputs_per_merged)."""
+    order = np.argsort(start, kind="stable")
+    start, end = start[order], end[order]
+    run_max = np.maximum.accumulate(end)
+    new_run = np.ones(start.size, dtype=bool)
+    new_run[1:] = start[1:] > run_max[:-1]
+    run_id = np.cumsum(new_run) - 1
+    m_start = start[new_run]
+    m_end = np.maximum.reduceat(end, np.flatnonzero(new_run))
+    return m_start, m_end, np.bincount(run_id, minlength=m_start.size)
+
+
+def _apply_cuts_fn(group: pa.Table) -> pa.Table:
+    """map_groups over groupby(pid(doc_id)) of union(doc-text rows
+    kind=0, cut-interval rows kind=1): per doc-run, merge overlapping
+    intervals and excise them from the text.  Docs with no interval
+    rows in the pid (or intervals whose doc has no text row) drop —
+    inner semantics."""
+    keys = group["key"].to_numpy(zero_copy_only=False)
+    kind = group["kind"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((kind, keys))
+    k_s, kd_s = keys[order], kind[order]
+    n = k_s.shape[0]
+    bnd = np.nonzero(k_s[1:] != k_s[:-1])[0] + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [n]])
+    live = (ends - starts >= 2) & (kd_s[starts] == 0)
+    texts = group["text"].to_pylist()
+    # doc rows carry null intervals, so Arrow->numpy gives float64 with
+    # NaN; the kind-1 rows indexed below are never null — cast back
+    cs = group["cut_start"].to_numpy(zero_copy_only=False)
+    ce = group["cut_end"].to_numpy(zero_copy_only=False)
+    out_id, out_n, out_rm, out_txt = [], [], [], []
+    for s, e in zip(starts[live], ends[live]):
+        text = texts[order[s]]
+        rows = order[s + 1:e]
+        m_start, m_end, counts = _merge_runs(
+            cs[rows].astype(np.int64), ce[rows].astype(np.int64))
+        pieces, prev = [], 0
+        for a, b in zip(m_start.tolist(), m_end.tolist()):
+            pieces.append(text[prev:a])
+            prev = b
+        pieces.append(text[prev:])
+        cut = "".join(pieces)
+        out_id.append(int(k_s[s]))
+        out_n.append(int(counts.sum()))
+        out_rm.append(len(text) - len(cut))
+        out_txt.append(cut)
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "n_spans": pa.array(out_n, pa.int64()),
+        "removed_chars": pa.array(out_rm, pa.int64()),
+        "text_cut": pa.array(out_txt, pa.string())}).cast(_CUT_OUT_SCHEMA)
+
+
+def substring_cut(sf_dir: str, cfg: PipelineConfig | None = None,
+                  min_span: int = DOC_MIN_SPAN):
+    """Duplicate-span removal: every doc that shares a span >= min_span
+    with a LOWER doc_id gets that span excised (the lower-id copy is
+    canonical and keeps its text).
+
+    Returns (doc_id, n_spans, removed_chars, text_cut) for the affected
+    docs only — one row per victim, overlapping intervals from several
+    partners merged before cutting so each char is removed once.
+    """
+    import ray.data as rd
+
+    from eridu_ray.kernels.hashing import splitmix64
+
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    nb = cfg.bucket_partitions
+    spans = substring_spans(sf_dir, cfg, min_span=min_span)
+
+    def with_pid(tab: pa.Table) -> pa.Table:
+        keys = tab["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(keys) % np.uint64(nb)).astype(np.int32)
+        return tab.append_column("pid", pa.array(pid))
+
+    def cut_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        pos = b["pos_b"].to_numpy(zero_copy_only=False)
+        ln = b["span_len"].to_numpy(zero_copy_only=False)
+        return with_pid(pa.Table.from_arrays(
+            [b["doc_id_b"], pa.array(np.ones(n, np.int8)),
+             pa.nulls(n, pa.string()),
+             pa.array(pos.astype(np.int64)),
+             pa.array((pos + ln).astype(np.int64))],
+            schema=_CUT_SCHEMA))
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return with_pid(pa.Table.from_arrays(
+            [b["doc_id"], pa.array(np.zeros(n, np.int8)), b["text"],
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64())],
+            schema=_CUT_SCHEMA))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    u = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(cut_rows, batch_format="pyarrow"))
+    return u.groupby("pid").map_groups(_apply_cuts_fn,
+                                       batch_format="pyarrow")
+
+
+def q_substring_cut(sf_dir: str):
+    """Driver registry entry (rows-only: span discovery is SA-based, not
+    SQL-expressible; planted-span golden tests in tests/test_substring.py
+    gate values).  text_cut is dropped from the driver row so the
+    comparison stays on the bounded numeric summary."""
+    return substring_cut(sf_dir).drop_columns(["text_cut"])

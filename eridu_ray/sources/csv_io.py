@@ -123,11 +123,51 @@ def q_gzcsv_to_parquet(sf_dir: str):
     return rd.read_parquet(pq_dir)
 
 
+def q_csv_io(sf_dir: str):
+    """Merged registry entry (S3+S8+S9 in ONE driver row — the same
+    50-query-window consolidation pattern as ``text_dedup_pairs``): the
+    CSV write→read round-trip over documents and the gz-CSV→Parquet
+    conversion over events both execute, projected to one tagged
+    (part, rid, cat, num, txt) schema.  Every value of both subsets
+    still reaches the hash (lang/source survive concatenated), so any
+    quoting/typing infidelity in either path breaks the oracle match.
+    """
+    import pyarrow.compute as pc
+
+    def proj_docs(b: pa.Table) -> pa.Table:
+        cat = pc.binary_join_element_wise(
+            pc.cast(b["lang"], pa.string()),
+            pc.cast(b["source"], pa.string()), "/")
+        return pa.table({
+            "part": pa.array(["csv"] * b.num_rows, pa.string()),
+            "rid": pc.cast(b["doc_id"], pa.int64()),
+            "cat": cat,
+            "num": pc.cast(b["n_chars"], pa.int64()),
+            "txt": pc.cast(b["text"], pa.string())})
+
+    def proj_events(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pa.array(["gz"] * b.num_rows, pa.string()),
+            "rid": pc.cast(b["event_id"], pa.int64()),
+            "cat": pc.cast(b["event_type"], pa.string()),
+            "num": pc.cast(b["cents"], pa.int64()),
+            "txt": pa.array([""] * b.num_rows, pa.string())})
+
+    docs = q_csv_roundtrip(sf_dir).map_batches(
+        proj_docs, batch_format="pyarrow")
+    events = q_gzcsv_to_parquet(sf_dir).map_batches(
+        proj_events, batch_format="pyarrow")
+    return docs.union(events)
+
+
 ORACLE_SQL: dict[str, str] = {
-    # round-trip must reproduce the Parquet-read subset exactly
-    "csv_roundtrip": (
-        "SELECT doc_id, lang, source, n_chars, text FROM documents"),
-    "gzcsv_to_parquet": (
-        "SELECT event_id, event_type, "
-        "CAST(round(value * 100) AS BIGINT) AS cents FROM events"),
+    # round-trips must reproduce the Parquet-read subsets exactly
+    "csv_io_roundtrip": (
+        "SELECT 'csv' AS part, doc_id AS rid, "
+        "lang || '/' || source AS cat, n_chars AS num, text AS txt "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'gz' AS part, event_id AS rid, event_type AS cat, "
+        "CAST(round(value * 100) AS BIGINT) AS num, '' AS txt "
+        "FROM events"),
 }

@@ -148,6 +148,127 @@ def jaccard_batch(batch: pa.Table, keep_lo: float | None = None,
     return batch.append_column("jaccard", pa.array(out))
 
 
+# --- join-free text attach (span-verify inputs) ----------------------------
+#
+# Ray's hash-shuffle JoinOperator crashes when a probe-side partition
+# receives only a 0-row 0-column block ("No match ... for key field" in
+# pyarrow.Table.join) — and groupby().map_groups() emits exactly such
+# schema-less empties for empty partitions, which Filter/MapBatches
+# forward untouched.  Sort/groupby tolerate them, so pair->signature
+# attaches downstream of a groupby use this union + pid-groupby join
+# (the reduce-verify pattern) instead of Dataset.join.
+
+_SPAN_ATTACH_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("kind", pa.int8()), ("text", pa.string()),
+    ("node_a", pa.int64()), ("node_b", pa.int64()),
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("src", pa.string()), ("jaccard", pa.float64()),
+])
+
+_SPAN_ATTACH2_SCHEMA = _SPAN_ATTACH_SCHEMA.append(
+    pa.field("text_a", pa.string()))
+
+_PAIR_PASSTHROUGH = ["node_a", "node_b", "url_a", "url_b", "src",
+                     "jaccard"]
+
+
+def _key_kind_runs(g: pa.Table):
+    """lexsorted (key, kind) run spans that start with a kind-0 head."""
+    keys = g["key"].to_numpy(zero_copy_only=False)
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((kind, keys))
+    k_s = keys[order]
+    kd_s = kind[order]
+    n = k_s.shape[0]
+    bnd = np.nonzero(k_s[1:] != k_s[:-1])[0] + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [n]])
+    live = (ends - starts >= 2) & (kd_s[starts] == 0)
+    return order, starts[live], ends[live]
+
+
+def attach_texts(pairs, signatures, cfg: PipelineConfig):
+    """pairs(node_a, node_b, url_a, url_b, src, jaccard) +
+    signatures(node_id, text) -> pairs + text_a + text_b.
+
+    Inner-join semantics (pairs whose node has no signature row drop),
+    implemented as two union + groupby(pid(key)) passes so the span
+    stage never feeds a JoinOperator (see the 0-column-block note
+    above).  pid buckets reuse cfg.bucket_partitions for group-count
+    amortization; each doc's text ships once per pass.
+    """
+    from eridu_ray.kernels.hashing import splitmix64
+
+    nb = cfg.bucket_partitions
+
+    def with_pid(tab: pa.Table) -> pa.Table:
+        keys = tab["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (splitmix64(keys) % np.uint64(nb)).astype(np.int32)
+        return tab.append_column("pid", pa.array(pid))
+
+    def sig_rows(schema: pa.Schema):
+        extra = [f.name for f in schema
+                 if f.name not in ("key", "kind", "text")]
+
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return with_pid(pa.Table.from_arrays(
+                [b["node_id"], pa.array(np.zeros(n, np.int8)), b["text"]]
+                + [pa.nulls(n, schema.field(c).type) for c in extra],
+                schema=schema))
+
+        return signatures.select_columns(["node_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    def pair_rows1(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return with_pid(pa.Table.from_arrays(
+            [b["node_a"], pa.array(np.ones(n, np.int8)),
+             pa.nulls(n, pa.string())]
+            + [b[c] for c in _PAIR_PASSTHROUGH],
+            schema=_SPAN_ATTACH_SCHEMA))
+
+    def make_attach(schema: pa.Schema, out_col: str):
+        def attach(g: pa.Table) -> pa.Table:
+            out_schema = schema.append(pa.field(out_col, pa.string()))
+            order, starts, ends = _key_kind_runs(g)
+            if starts.size == 0:
+                return out_schema.empty_table()
+            texts = g["text"].to_pylist()
+            pair_idx, t_out = [], []
+            for s, e in zip(starts, ends):
+                head_text = texts[order[s]]
+                rows = order[s + 1:e]
+                pair_idx.extend(int(r) for r in rows)
+                t_out.extend([head_text] * (e - s - 1))
+            out = g.take(pa.array(pair_idx)).select(
+                [f.name for f in schema])
+            return out.append_column(out_col, pa.array(t_out, pa.string()))
+
+        return attach
+
+    u1 = sig_rows(_SPAN_ATTACH_SCHEMA).union(
+        pairs.map_batches(pair_rows1, batch_format="pyarrow"))
+    p1 = u1.groupby("pid").map_groups(
+        make_attach(_SPAN_ATTACH_SCHEMA, "text_a"), batch_format="pyarrow")
+
+    def rekey_b(b: pa.Table) -> pa.Table:
+        b = b.set_column(0, "key", b["node_b"])
+        if "pid" in b.column_names:
+            b = b.drop_columns(["pid"])
+        return with_pid(b)
+
+    u2 = sig_rows(_SPAN_ATTACH2_SCHEMA).union(
+        p1.map_batches(rekey_b, batch_format="pyarrow"))
+    p2 = u2.groupby("pid").map_groups(
+        make_attach(_SPAN_ATTACH2_SCHEMA, "text_b"), batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(_PAIR_PASSTHROUGH + ["text_a", "text_b"])
+
+    return p2.map_batches(finish, batch_format="pyarrow")
+
+
 # --- reduce-side verify (union + groupby join, fused Jaccard) --------------
 
 _P1_SCHEMA = pa.schema([
