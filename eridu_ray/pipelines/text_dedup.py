@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from eridu_ray.config import PipelineConfig
 from eridu_ray.stages import candidates as cand
 from eridu_ray.stages.signatures import SignatureStage
-from eridu_ray.stages.verify import attach_shingles, jaccard_batch
+from eridu_ray.stages.verify import verify_pairs_reduce
 
 
 def _documents_as_pages(sf_dir: str):
@@ -92,8 +92,12 @@ def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None,
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
         est_min=cfg.dup_jaccard - cfg.prefilter_margin, stats=stats)
-    verified = attach_shingles(pairs, sigs, cfg).map_batches(
-        jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    # join-free verify (union + pid-groupby): the salted pairs arrive
+    # from a groupby, whose schema-less empty blocks crash Ray's
+    # JoinOperator (see verify.attach_texts note)
+    verified = verify_pairs_reduce(
+        pairs.select_columns(["node_a", "node_b", "src", "est"]),
+        sigs, cfg)
     out = verified.filter(expr=f"jaccard >= {cfg.dup_jaccard}")
     return _pairs_out(out)
 
@@ -121,8 +125,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
         est_min=threshold - cfg.prefilter_margin)
-    verified = attach_shingles(pairs, sigs, cfg).map_batches(
-        jaccard_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    verified = verify_pairs_reduce(
+        pairs.select_columns(["node_a", "node_b", "src", "est"]),
+        sigs, cfg)
     return _pairs_out(verified.filter(expr=f"jaccard >= {threshold}"))
 
 
