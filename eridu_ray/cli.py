@@ -465,6 +465,41 @@ def encode(sf_dir: str, out_dir: str, dim: int, num_cpus: int) -> None:
         ray.shutdown()
 
 
+@cli.command(context_settings={"show_default": True})
+@click.option("--sf-dir", default="/root/testdata/sf0.001",
+              help="Testdata dir holding documents.parquet")
+@click.option("--out-dir", required=True,
+              help="Directory for the cut-documents Parquet")
+@click.option("--min-span", default=100, type=int,
+              help="Minimum shared-span length (chars) to excise")
+@click.option("--spans-only", is_flag=True, default=False,
+              help="Write the verified (doc_id_a, doc_id_b, span_len, "
+                   "pos_a, pos_b) table instead of cutting")
+@click.option("--num-cpus", default=0, type=int)
+def substring(sf_dir: str, out_dir: str, min_span: int,
+              spans_only: bool, num_cpus: int) -> None:
+    """Suffix-array substring dedup: find long shared spans between
+    documents (winnow candidates -> generalized-SA verify with offsets)
+    and excise them from the higher-doc_id copy (Lee et al. 2022-style
+    duplicate-span removal; pipelines/substring.py)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.pipelines.substring import (substring_cut,
+                                                   substring_spans)
+
+        if spans_only:
+            ds = substring_spans(sf_dir, min_span=min_span)
+        else:
+            ds = substring_cut(sf_dir, min_span=min_span)
+        os.makedirs(out_dir, exist_ok=True)
+        ds.write_parquet(out_dir)
+        click.echo(json.dumps({"rows": ds.count(), "min_span": min_span,
+                               "mode": "spans" if spans_only else "cut",
+                               "output": out_dir}))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     cli(prog_name="eridu_ray")
 

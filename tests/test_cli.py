@@ -188,6 +188,29 @@ def test_encode_cli(runner, ray_session, tmp_path):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
 
 
+def test_substring_cli(runner, ray_session, tmp_path):
+    spans_out = str(tmp_path / "spans")
+    res = runner.invoke(cli, ["substring", "--sf-dir",
+                              "/root/testdata/sf0.001",
+                              "--out-dir", spans_out, "--spans-only"])
+    assert res.exit_code == 0, res.output
+    spans = pq.read_table(spans_out)
+    assert _last_json(res.output)["rows"] == spans.num_rows > 0
+    assert (np.asarray(spans["span_len"].to_pylist()) >= 100).all()
+
+    cut_out = str(tmp_path / "cut")
+    res = runner.invoke(cli, ["substring", "--sf-dir",
+                              "/root/testdata/sf0.001",
+                              "--out-dir", cut_out])
+    assert res.exit_code == 0, res.output
+    cut = pq.read_table(cut_out)
+    assert _last_json(res.output)["rows"] == cut.num_rows > 0
+    # every victim is some span's higher doc id, and the excision is real
+    victims = set(spans["doc_id_b"].to_pylist())
+    assert set(cut["doc_id"].to_pylist()) <= victims
+    assert all(rc > 0 for rc in cut["removed_chars"].to_pylist())
+
+
 def test_cli_does_not_kill_foreign_ray_session(runner, ray_session):
     """The CLI must not shut down a Ray session it didn't create."""
     import ray
