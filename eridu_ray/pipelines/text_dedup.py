@@ -42,10 +42,60 @@ def _signatures(sf_dir: str, cfg: PipelineConfig):
         batch_size=cfg.batch_size)
 
 
+def _dedup_full_pairs_fn(group: pa.Table) -> pa.Table:
+    """Cross-band (node_a, node_b) dedup over one pair-pid partition,
+    KEEPING the url columns (the slim kernel drops them): vectorized
+    run detection, singles pass through zero-copy, duplicate runs merge
+    src tags (sorted union) and take the max non-null est — identical
+    semantics to candidates.dedup_pairs_fn without its one-group-per-
+    distinct-pair groupby (Ray's sort aggregate over millions of
+    distinct keys is the measured slow path; pid buckets amortize it).
+    """
+    a = group["node_a"].to_numpy(zero_copy_only=False)
+    b = group["node_b"].to_numpy(zero_copy_only=False)
+    n = a.shape[0]
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new_run = np.concatenate(
+        [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+    starts = np.nonzero(new_run)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    singles = order[starts[ends - starts == 1]]
+    parts = []
+    if singles.size:
+        parts.append(group.take(pa.array(np.sort(singles))))
+    multi = np.nonzero(ends - starts >= 2)[0]
+    if multi.size:
+        srcs = group["src"].to_pylist()
+        est_np = group["est"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep_idx, ms, me = [], [], []
+        for r in multi:
+            rows = order[int(starts[r]):int(ends[r])]
+            tags = set()
+            best = None
+            for i in rows:
+                tags.update(srcs[i].split(","))
+                v = est_np[i]
+                if v == v and (best is None or v > best):
+                    best = v
+            keep_idx.append(int(rows[0]))
+            ms.append(",".join(sorted(tags)))
+            me.append(best)
+        t = group.take(pa.array(keep_idx)).drop_columns(["src", "est"])
+        t = t.append_column("src", pa.array(ms, pa.string()))
+        t = t.append_column("est", pa.array(me, pa.float64()))
+        parts.append(t.select(group.column_names))
+    if not parts:
+        return group.slice(0, 0)
+    return pa.concat_tables(parts)
+
+
 def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
                             src: str, est_min: float | None,
                             max_hamming: int | None = None,
-                            stats: dict | None = None):
+                            stats: dict | None = None,
+                            dedup: bool = True):
     """Explode -> hot-bucket pre-count -> salted explode -> exact pairs.
 
     Pair-emitting ops must not lose pairs in hot buckets, so instead of
@@ -58,6 +108,12 @@ def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
     the sketch-estimate prefilter still prunes pairs whose 128-slot
     MinHash estimate falls below it — a noisy-estimate recall tradeoff
     bounded by cfg.prefilter_margin (~3 sigma), not a salting loss.
+
+    ``dedup=True`` collapses cross-band copies via a pair-pid-bucketed
+    partition dedup (group-count amortization — NOT one Ray group per
+    distinct pair).  Ops that feed verify_pairs_reduce pass
+    ``dedup=False`` and fuse the dedup into verify pass 1 instead
+    (``dedup_winnow_min_hits=1``), skipping this sort entirely.
     """
     exploded = (sigs.filter(expr="n_shingles > 0")
                 .map_batches(lambda b: exploder(b), batch_format="pyarrow",
@@ -70,12 +126,16 @@ def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
     salted = exploded.map_batches(
         cand.make_salted_explode(key_col, salts, cfg.seed),
         batch_format="pyarrow", batch_size=cfg.batch_size)
-    return (salted.groupby("salt_key")
-            .map_groups(cand.make_salted_pairs_fn(
-                src, est_min=est_min, max_hamming=max_hamming),
-                batch_format="pyarrow")
-            .groupby(["node_a", "node_b"])
-            .map_groups(cand.dedup_pairs_fn, batch_format="pyarrow"))
+    pairs = (salted.groupby("salt_key")
+             .map_groups(cand.make_salted_pairs_fn(
+                 src, est_min=est_min, max_hamming=max_hamming),
+                 batch_format="pyarrow"))
+    if not dedup:
+        return pairs
+    return (cand.add_pair_pid(pairs, cfg.bucket_partitions)
+            .groupby("pid")
+            .map_groups(_dedup_full_pairs_fn, batch_format="pyarrow")
+            .drop_columns(["pid"]))
 
 
 def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None,
@@ -91,13 +151,16 @@ def minhash_lsh_pairs(sf_dir: str, cfg: PipelineConfig | None = None,
     sigs = _signatures(sf_dir, cfg).materialize()
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
-        est_min=cfg.dup_jaccard - cfg.prefilter_margin, stats=stats)
+        est_min=cfg.dup_jaccard - cfg.prefilter_margin, stats=stats,
+        dedup=False)
     # join-free verify (union + pid-groupby): the salted pairs arrive
     # from a groupby, whose schema-less empty blocks crash Ray's
-    # JoinOperator (see verify.attach_texts note)
+    # JoinOperator (see verify.attach_texts note).  Cross-band dedup is
+    # fused into verify pass 1 (dedup_winnow_min_hits=1 = no winnow
+    # junk-guard, plain pair dedup) — the standalone pair sort vanishes.
     verified = verify_pairs_reduce(
         pairs.select_columns(["node_a", "node_b", "src", "est"]),
-        sigs, cfg)
+        sigs, cfg, dedup_winnow_min_hits=1)
     out = verified.filter(expr=f"jaccard >= {cfg.dup_jaccard}")
     return _pairs_out(out)
 
@@ -124,10 +187,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     sigs = _signatures(sf_dir, cfg).materialize()
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.BandExploder(cfg), "band_key", "minhash",
-        est_min=threshold - cfg.prefilter_margin)
+        est_min=threshold - cfg.prefilter_margin, dedup=False)
     verified = verify_pairs_reduce(
         pairs.select_columns(["node_a", "node_b", "src", "est"]),
-        sigs, cfg)
+        sigs, cfg, dedup_winnow_min_hits=1)
     return _pairs_out(verified.filter(expr=f"jaccard >= {threshold}"))
 
 
