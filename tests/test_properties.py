@@ -165,6 +165,22 @@ def test_shared_run_length_matches_difflib(a, b):
 
 
 @_SETTINGS
+@given(texts, texts)
+def test_suffix_array_longest_span_exact(a, b):
+    """The generalized-SA verifier returns the exact LCS length AND
+    offsets that really address a shared span (collision-free, unlike
+    the rolling hash) — over mixed-width unicode text."""
+    from eridu_ray.kernels.suffix import pair_longest_span
+
+    ln, xa, xb = pair_longest_span(a, b)
+    assert ln == longest_common_substring_len(a, b)
+    if ln:
+        assert a[xa:xa + ln] == b[xb:xb + ln]
+    else:
+        assert (xa, xb) == (-1, -1)
+
+
+@_SETTINGS
 @given(st.lists(st.tuples(st.integers(min_value=0, max_value=30),
                           st.integers(min_value=0, max_value=30)),
                 min_size=0, max_size=40))
