@@ -127,7 +127,7 @@ def run_bench() -> dict:
                   "length_percentiles", "decontaminate",
                   "repetition_quality", "semantic_dedup",
                   "c4_quality_filter", "boilerplate_ngrams",
-                  "source_ngram_overlap"):
+                  "source_ngram_overlap", "substring_cut"):
         fn = registry.get(qname) or relational.build_queries()[qname]
         runs = []
         for _ in range(max(1, best_of)):
