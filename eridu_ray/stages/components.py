@@ -140,6 +140,14 @@ def label_propagation(edges, cfg: PipelineConfig,
 
     prev_sum = wrapped_sum(labels)
     converged = False
+    # NOTE on the per-round Dataset.joins below: Ray's hash-shuffle
+    # JoinOperator crashes if a probe partition receives only a
+    # schema-less 0-row block (see verify.attach_texts).  l1 comes from
+    # groupby.map_groups, which emits such blocks for EMPTY pid
+    # partitions — possible only when nodes ≪ bucket_partitions, i.e.
+    # graphs far below cc_driver_max_edges, which the driver union-find
+    # regime absorbs; at distributed-CC sizes every pid partition is
+    # populated.  The forced-distributed tests (200 docs) pin this.
     for rnd in range(cfg.max_cc_rounds):
         msgs = (edges_bidir
                 .join(labels, join_type="inner",
