@@ -58,7 +58,7 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
     doc_id_a < doc_id_b always; (pos_a, pos_b) locate one maximal shared
     span (the suffix-array argmax — deterministic given the texts).
     """
-    from eridu_ray.stages.verify import attach_texts
+    from eridu_ray.stages.verify import attach_texts, prune_to_pair_nodes
 
     cfg = cfg or PipelineConfig(num_partitions=8)
     sigs = _signatures(sf_dir, cfg).materialize()
@@ -74,9 +74,11 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
             "src": pa.nulls(n, pa.string()),
             "jaccard": pa.nulls(n, pa.float64())})
 
-    joined = attach_texts(
-        pairs.map_batches(widen, batch_format="pyarrow"), sigs, cfg
-    ).repartition(cfg.num_partitions)
+    sub = pairs.map_batches(widen, batch_format="pyarrow").materialize()
+    texts, _ = prune_to_pair_nodes(
+        sub, sigs.select_columns(["node_id", "text"]), cfg,
+        max_nodes=5_000_000)
+    joined = attach_texts(sub, texts, cfg).repartition(cfg.num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
         from eridu_ray.kernels.suffix import pair_longest_span

@@ -187,6 +187,48 @@ def _key_kind_runs(g: pa.Table):
     return order, starts[live], ends[live]
 
 
+def prune_to_pair_nodes(pairs, signatures, cfg: PipelineConfig,
+                        max_nodes: int):
+    """(signatures pruned to nodes appearing in ``pairs``, n_nodes).
+
+    ``pairs`` must be small enough to iterate driver-side (span
+    candidates are junk-guard-bounded; same bounded-driver-artifact
+    class as hot-bucket salts).  The distinct node ids broadcast once
+    via ray.put (zero-copy plasma views in every filter task).  If the
+    id set exceeds ``max_nodes``, returns the signatures UNPRUNED
+    (n_nodes None) — the 10^12-doc fallback, where the attach shuffles
+    the full narrow (node_id, text) table exactly like a hash join
+    would.
+    """
+    import ray
+
+    ids: set = set()
+    over = False
+    for b in pairs.select_columns(["node_a", "node_b"]).iter_batches(
+            batch_format="pyarrow"):
+        ids.update(b["node_a"].to_pylist())
+        ids.update(b["node_b"].to_pylist())
+        if len(ids) > max_nodes:
+            over = True
+            break
+    if over:
+        return signatures, None
+    arr = np.sort(np.fromiter(ids, np.int64, len(ids)))
+    ref = ray.put(arr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        nid = b["node_id"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return b.slice(0, 0)
+        pos = np.searchsorted(keys, nid)
+        np.clip(pos, 0, keys.size - 1, out=pos)
+        return b.filter(pa.array(keys[pos] == nid))
+
+    return (signatures.map_batches(keep, batch_format="pyarrow"),
+            int(arr.size))
+
+
 def attach_texts(pairs, signatures, cfg: PipelineConfig):
     """pairs(node_a, node_b, url_a, url_b, src, jaccard) +
     signatures(node_id, text) -> pairs + text_a + text_b.
