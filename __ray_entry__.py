@@ -77,6 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs.update(TEXTSTATS_QUERIES)
 
+    # training-example preparation (overlapping chunk explode +
+    # concat-and-chunk sequence packing; both oracle-paired — slots
+    # freed r4 by the semi_anti_join and quality_scores merges)
+    from eridu_ray.pipelines.training import TRAINING_QUERIES
+
+    qs.update(TRAINING_QUERIES)
+
     # T6: standalone corpus->embedding encoder stage (rows-only: stub
     # embedding values are engine-defined, not SQL-expressible)
     from eridu_ray.stages.scorer import encode_documents
@@ -271,8 +278,9 @@ def oracle_sql() -> dict[str, str]:
     from eridu_ray.pipelines.relational import ORACLE_SQL
     from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
     from eridu_ray.pipelines.textstats import ORACLE_SQL as TEXT_SQL
+    from eridu_ray.pipelines.training import ORACLE_SQL as TRAIN_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **CSV_SQL, **AUG_SQL,
-            **CUR_SQL, "decontaminate": DECONTAMINATE_SQL}
+    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **TRAIN_SQL, **CSV_SQL,
+            **AUG_SQL, **CUR_SQL, "decontaminate": DECONTAMINATE_SQL}

@@ -122,12 +122,13 @@ def run_bench() -> dict:
     queries = {"dedup_flagship": round(flagship_sec, 3)}
     query_steal = {"dedup_flagship": steal_frac}
     for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
-                  "exact_dedup", "embedding_topk", "token_counts",
-                  "anti_join", "grouped_topk", "asof_join",
+                  "exact_dedup", "embedding_topk", "quality_scores",
+                  "semi_anti_join", "grouped_topk", "asof_join",
                   "length_percentiles", "decontaminate",
                   "repetition_quality", "semantic_dedup",
                   "c4_quality_filter", "boilerplate_ngrams",
-                  "source_ngram_overlap", "substring_cut"):
+                  "source_ngram_overlap", "substring_cut",
+                  "chunk_docs", "pack_sequences"):
         fn = registry.get(qname) or relational.build_queries()[qname]
         runs = []
         for _ in range(max(1, best_of)):

@@ -351,6 +351,38 @@ def q_anti_join(sf_dir):
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
+def q_semi_anti_join(sf_dir):
+    """J2+J5 merged driver row (r4: freed one registry slot for the
+    training-prep family): BOTH join paths execute — the broadcast
+    key-set semi-join over lineitem and the hash-partitioned
+    ``left_anti`` join over customer — projected to one tagged int
+    schema and unioned, so every value of both results reaches the
+    driver's hash.  ``q_semi_join``/``q_anti_join`` stay importable
+    and individually tested."""
+    def tag_semi(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "tag": pa.array(np.full(b.num_rows, "semi", object),
+                            pa.string()),
+            "k1": pc.cast(b["l_orderkey"], pa.int64()),
+            "k2": pc.cast(b["l_linenumber"], pa.int64()),
+            "v_cents": pa.array(cents)})
+
+    def tag_anti(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tag": pa.array(np.full(b.num_rows, "anti", object),
+                            pa.string()),
+            "k1": pc.cast(b["c_custkey"], pa.int64()),
+            "k2": pc.cast(b["c_nationkey"], pa.int64()),
+            "v_cents": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    semi = q_semi_join(sf_dir).map_batches(tag_semi, batch_format="pyarrow")
+    anti = q_anti_join(sf_dir).map_batches(tag_anti, batch_format="pyarrow")
+    return semi.union(anti)
+
+
 def q_join_agg(sf_dir):
     """J1: key-equality join + broadcast dim lookup + grouped agg
     (cluster_split.py:249 dict-lookup join; orders⋈customer is the
@@ -423,7 +455,12 @@ def q_token_counts(sf_dir):
 
 
 def q_quality_scores(sf_dir):
-    """Quality features with SQL-parity formulas (mean token length)."""
+    """Quality features with SQL-parity formulas (mean token length).
+    Also gates whitespace token counting — the r4 standalone
+    ``token_counts`` driver row collapsed into this one (its n_tokens
+    column is computed identically here; ``q_token_counts`` stays
+    importable and tested), freeing a registry slot for the
+    training-prep family (pipelines/training.py)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -643,12 +680,10 @@ def build_queries() -> dict:
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
         "union_distinct": q_union_distinct,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        "semi_anti_join": q_semi_anti_join,
         "grouped_topk": q_grouped_topk,
         "join_agg": q_join_agg,
         "window_hourly": q_window_hourly,
-        "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
@@ -713,13 +748,16 @@ ORACLE_SQL: dict[str, str] = {
     "union_distinct": (
         "SELECT o_custkey AS key FROM orders "
         "UNION SELECT c_custkey AS key FROM customer"),
-    "semi_join": (
-        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
-        "WHERE l_orderkey IN "
-        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)"),
-    "anti_join": (
-        "SELECT c_custkey, c_nationkey FROM customer "
-        "WHERE c_custkey NOT IN "
+    "semi_anti_join": (
+        "SELECT 'semi' AS tag, l_orderkey AS k1, "
+        "l_linenumber::BIGINT AS k2, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v_cents "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) "
+        "UNION ALL "
+        "SELECT 'anti' AS tag, c_custkey AS k1, "
+        "c_nationkey::BIGINT AS k2, 0::BIGINT AS v_cents "
+        "FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"),
     "grouped_topk": (
         "SELECT lang, doc_id, n_chars FROM ("
@@ -735,9 +773,6 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, date_trunc('hour', ts) AS win, count(*) AS n, "
         "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents FROM events "
         "GROUP BY event_type, date_trunc('hour', ts)"),
-    "token_counts": (
-        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens "
-        "FROM documents"),
     "quality_scores": (
         "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
         "(length(text) - len(string_split(text, ' ')) + 1)::BIGINT "
