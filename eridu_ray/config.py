@@ -52,6 +52,18 @@ class PipelineConfig:
                                       # participates in config_hash — a resume
                                       # with the flag flipped must recompute)
 
+    url_sim_weight: float = 0.0     # blend weight of url-trigram fuzzy
+                                    # similarity in the borderline scorer:
+                                    # sim = (1-w)*content + w*url_jaccard
+                                    # over canonicalized urls (north-star
+                                    # "title/url fuzzy matching" clause).
+                                    # Semantic when nonzero (changes the
+                                    # scorer edge set), so it stays in
+                                    # config_hash; 0.0 = content-only,
+                                    # byte-identical to the pre-knob
+                                    # flagship, and the recall gates run
+                                    # at this default.
+
     # --- candidate prefilter (scale: cuts the verify-shuffle traffic) ---
     # pairs whose byte-sketch MinHash estimate is below
     # borderline_jaccard - prefilter_margin are dropped BEFORE the

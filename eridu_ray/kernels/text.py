@@ -148,3 +148,71 @@ def content_md5(text: str) -> str:
     import hashlib
 
     return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+# --- url canonicalization + fuzzy similarity (north-star clause:
+# "title/url fuzzy matching for multilingual pages" in the borderline
+# refinement).  All-RE2 column kernels — no per-row Python. -----------------
+
+def canonicalize_urls(col):
+    """Vectorized URL canonicalization over an Arrow string column.
+
+    lowercase; strip scheme, leading ``www.``, fragment, common tracking
+    params (utm_*/fbclid/gclid) and a trailing slash — the variations a
+    re-crawl / mirror introduces without changing the page.  Every step is
+    one ``pc.replace_substring_regex`` (RE2) over the whole column.
+    """
+    import pyarrow.compute as pc
+
+    s = pc.utf8_lower(col)
+    for pat, rep in ((r"^[a-z][a-z0-9+.-]*://", ""),
+                     (r"^www\.", ""),
+                     (r"#.*$", ""),
+                     (r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""),
+                     (r"[?&]+$", ""),
+                     (r"/$", "")):
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    return s
+
+
+def string_trigram_sets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT char-3-gram (byte-window) sets, fully vectorized.
+
+    Returns ``(cat, sizes)``: the concatenation of each row's sorted
+    unique trigram codes (uint32: three bytes packed big-endian) and the
+    per-row set sizes — the exact input shape of
+    ``verify._tagged_intersections``, so per-pair trigram Jaccard costs
+    one searchsorted pass per batch.  The whole kernel is zero-copy off
+    the Arrow string buffers: one gather builds every window, one sort +
+    run mask dedups per row (row id tagged in the high 32 bits).
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint32), np.zeros(0, np.int64)
+    arr = arr.cast(pa.string())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    counts = np.maximum(offs[1:] - offs[:-1] - 2, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.uint32), np.zeros(n, np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    idx = (np.repeat(offs[:-1], counts)
+           + (np.arange(total) - np.repeat(cum[:-1], counts)))
+    tri = ((data[idx].astype(np.uint32) << 16)
+           | (data[idx + 1].astype(np.uint32) << 8)
+           | data[idx + 2])
+    row = np.repeat(np.arange(n, dtype=np.uint64), counts)
+    keys = np.sort((row << np.uint64(32)) | tri.astype(np.uint64))
+    keep = np.ones(keys.size, bool)
+    keep[1:] = keys[1:] != keys[:-1]
+    keys = keys[keep]
+    sizes = np.bincount((keys >> np.uint64(32)).astype(np.int64),
+                        minlength=n).astype(np.int64)
+    return (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32), sizes

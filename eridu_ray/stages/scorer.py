@@ -136,7 +136,26 @@ class PairScorer:
             eb = self.stub.embed_shingle_sets(vb, ob)
         cos = np.einsum("ij,ij->i", ea, eb)
         sim = (cos.astype(np.float64) + 1.0) / 2.0
+        w = getattr(self.cfg, "url_sim_weight", 0.0)
+        if w > 0.0 and {"url_a", "url_b"} <= set(batch.column_names):
+            sim = (1.0 - w) * sim + w * self._url_similarity(batch)
         return batch.append_column("similarity", pa.array(sim))
+
+    @staticmethod
+    def _url_similarity(batch: pa.Table) -> np.ndarray:
+        """Per-pair fuzzy url similarity: exact trigram Jaccard over
+        canonicalized urls (north-star "title/url fuzzy matching");
+        vectorized — one tagged searchsorted pass for the whole batch
+        (kernels.text.string_trigram_sets + verify._tagged_intersections)."""
+        from eridu_ray.kernels.text import canonicalize_urls, \
+            string_trigram_sets
+        from eridu_ray.stages.verify import _tagged_intersections
+
+        ca, sa = string_trigram_sets(canonicalize_urls(batch["url_a"]))
+        cb, sb = string_trigram_sets(canonicalize_urls(batch["url_b"]))
+        inter = _tagged_intersections(ca, sa, cb, sb)
+        union = sa + sb - inter
+        return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def threshold_batch(batch: pa.Table, threshold: float,
