@@ -137,22 +137,42 @@ class PairScorer:
         cos = np.einsum("ij,ij->i", ea, eb)
         sim = (cos.astype(np.float64) + 1.0) / 2.0
         w = getattr(self.cfg, "url_sim_weight", 0.0)
-        if w > 0.0 and {"url_a", "url_b"} <= set(batch.column_names):
-            sim = (1.0 - w) * sim + w * self._url_similarity(batch)
+        if w > 0.0:
+            cols = set(batch.column_names)
+            # north-star "title/url fuzzy matching": urls are
+            # canonicalized first; titles (when a pipeline carries
+            # them — the flagship does not shuffle title strings)
+            # blend raw through the same trigram kernel.  When both
+            # are present each contributes half the fuzzy weight.
+            parts = []
+            if {"url_a", "url_b"} <= cols:
+                parts.append(self._fuzzy_similarity(
+                    batch, "url_a", "url_b", canonicalize=True))
+            if {"title_a", "title_b"} <= cols:
+                parts.append(self._fuzzy_similarity(
+                    batch, "title_a", "title_b", canonicalize=False))
+            if parts:
+                fuzzy = parts[0] if len(parts) == 1 else \
+                    0.5 * (parts[0] + parts[1])
+                sim = (1.0 - w) * sim + w * fuzzy
         return batch.append_column("similarity", pa.array(sim))
 
     @staticmethod
-    def _url_similarity(batch: pa.Table) -> np.ndarray:
-        """Per-pair fuzzy url similarity: exact trigram Jaccard over
-        canonicalized urls (north-star "title/url fuzzy matching");
-        vectorized — one tagged searchsorted pass for the whole batch
+    def _fuzzy_similarity(batch: pa.Table, col_a: str, col_b: str,
+                          canonicalize: bool) -> np.ndarray:
+        """Per-pair fuzzy string similarity: exact trigram Jaccard
+        (north-star "title/url fuzzy matching"); vectorized — one tagged
+        searchsorted pass for the whole batch
         (kernels.text.string_trigram_sets + verify._tagged_intersections)."""
         from eridu_ray.kernels.text import canonicalize_urls, \
             string_trigram_sets
         from eridu_ray.stages.verify import _tagged_intersections
 
-        ca, sa = string_trigram_sets(canonicalize_urls(batch["url_a"]))
-        cb, sb = string_trigram_sets(canonicalize_urls(batch["url_b"]))
+        a, b = batch[col_a], batch[col_b]
+        if canonicalize:
+            a, b = canonicalize_urls(a), canonicalize_urls(b)
+        ca, sa = string_trigram_sets(a)
+        cb, sb = string_trigram_sets(b)
         inter = _tagged_intersections(ca, sa, cb, sb)
         union = sa + sb - inter
         return np.where(union > 0, inter / np.maximum(union, 1), 1.0)

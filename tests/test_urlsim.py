@@ -78,6 +78,24 @@ def test_scorer_blends_url_similarity():
     assert w2 == pytest.approx(0.5 * content + 0.5 * uj, abs=1e-12)
 
 
+def test_scorer_blends_title_similarity():
+    """Pipelines that carry title_a/title_b get the same trigram blend;
+    with both url and title present each contributes half the weight."""
+    b = _pair_batch("https://www.example.com/a/", "http://example.com/a")
+    content = PairScorer(PipelineConfig())(b)["similarity"].to_pylist()[0]
+    bt = b.append_column(
+        "title_a", pa.array(["Breaking News Today"], pa.string())
+    ).append_column(
+        "title_b", pa.array(["Breaking News Update"], pa.string()))
+    got = PairScorer(
+        PipelineConfig(url_sim_weight=0.4))(bt)["similarity"].to_pylist()[0]
+    # titles blend RAW (no canonicalization): brute sets over raw bytes
+    ta, tb = _brute_tri("Breaking News Today"), _brute_tri("Breaking News Update")
+    tj = len(ta & tb) / len(ta | tb)
+    want = 0.6 * content + 0.4 * (0.5 * (1.0 + tj))  # urls canonically equal
+    assert got == pytest.approx(want, abs=1e-12)
+
+
 def test_default_weight_keeps_flagship_byte_identical():
     """url_sim_weight=0.0 must not touch the similarity column at all:
     the scorer output must be bit-equal to one computed with the url
