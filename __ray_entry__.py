@@ -66,10 +66,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["acronyms"] = augment.q_acronyms
 
     # temporal joins/windows over events (as-of join, interval join,
-    # session windows, sliding windows; all oracle-paired)
-    from eridu_ray.pipelines.temporal import TEMPORAL_QUERIES
+    # session + sliding windows; all oracle-paired — the two window ops
+    # register through the tagged union row `event_windows` (r4: freed
+    # one slot for `url_canon`); both stay individually oracle-gated in
+    # tests/test_temporal.py)
+    from eridu_ray.pipelines.temporal import TEMPORAL_MERGED, TEMPORAL_QUERIES
 
-    qs.update(TEMPORAL_QUERIES)
+    qs.update({k: v for k, v in TEMPORAL_QUERIES.items()
+               if k not in TEMPORAL_MERGED})
 
     # corpus text statistics (vocab/bigram top-k via partial combine,
     # broadcast-DF rarest term, RE2 redaction; all oracle-paired)
@@ -276,7 +280,11 @@ def oracle_sql() -> dict[str, str]:
     from eridu_ray.pipelines.curation import ORACLE_SQL as CUR_SQL
     from eridu_ray.pipelines.decontaminate import DECONTAMINATE_SQL
     from eridu_ray.pipelines.relational import ORACLE_SQL
-    from eridu_ray.pipelines.temporal import ORACLE_SQL as TEMP_SQL
+    from eridu_ray.pipelines.temporal import TEMPORAL_MERGED
+    from eridu_ray.pipelines.temporal import ORACLE_SQL as _TEMP_ALL
+
+    TEMP_SQL = {k: v for k, v in _TEMP_ALL.items()
+                if k not in TEMPORAL_MERGED}
     from eridu_ray.pipelines.textstats import ORACLE_SQL as TEXT_SQL
     from eridu_ray.pipelines.training import ORACLE_SQL as TRAIN_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL

@@ -645,6 +645,29 @@ def q_semantic_dedup(sf_dir):
 
 # --- categorized evaluation examples (O3) ---------------------------------
 
+def q_url_canon(sf_dir):
+    """URL canonicalization (kernels/text.canonicalize_urls), driver-
+    gated bit-for-bit: a deterministically MESSY url is derived per doc
+    (scheme casing, www., tracking params, fragment) and canonicalized;
+    the oracle mirrors the derivation and applies the SAME RE2 patterns
+    through DuckDB regexp_replace, so both engines run identical regex
+    semantics over identical inputs.  This is the kernel the borderline
+    scorer's url-fuzzy blend (config.url_sim_weight) builds on."""
+    from eridu_ray.kernels.text import canonicalize_urls
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.string())
+        raw = pc.binary_join_element_wise(
+            "HTTPS://WWW.", b["source"], ".com/", b["lang"], "/", did,
+            "/?utm_source=feed&id=", did, "#frag", "")
+        return pa.table({"doc_id": b["doc_id"],
+                         "canon_url": canonicalize_urls(raw)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_error_examples(sf_dir):
     """O3: top-3 examples per confusion category over events
     (label = event_id % 3 == 0, prediction = value >= 100) — the
@@ -690,6 +713,7 @@ def build_queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
+        "url_canon": q_url_canon,
         "error_examples": q_error_examples,
     }
 
@@ -777,6 +801,17 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
         "(length(text) - len(string_split(text, ' ')) + 1)::BIGINT "
         "AS sum_token_chars FROM documents"),
+    "url_canon": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace("
+        "lower('HTTPS://WWW.' || source || '.com/' || lang || '/' || "
+        "doc_id || '/?utm_source=feed&id=' || doc_id || '#frag'), "
+        "'^[a-z][a-z0-9+.-]*://', '', 'g'), "
+        "'^www\\.', '', 'g'), "
+        "'#.*$', '', 'g'), "
+        "'(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'), "
+        "'[?&]+$', '', 'g'), "
+        "'/$', '', 'g') AS canon_url FROM documents"),
     "doc_fingerprint": (
         "SELECT doc_id, md5(text) AS fp, "
         "strlen(text)::BIGINT AS payload_bytes FROM documents"),

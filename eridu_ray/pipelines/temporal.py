@@ -313,6 +313,40 @@ def q_sliding_window(sf_dir):
             .rename_columns({"count()": "n", "sum(cents)": "sum_cents"}))
 
 
+def q_event_windows(sf_dir):
+    """Merged driver row (r4: freed one registry slot for ``url_canon``):
+    BOTH window operators execute — session windows and the sliding
+    window — projected to one tagged schema and unioned so every value
+    of both results reaches the driver's hash.  ``q_session_windows``
+    and ``q_sliding_window`` stay registered in TEMPORAL_QUERIES and
+    individually oracle-gated in tests/test_temporal.py."""
+    def tag_session(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tag": pa.array(np.full(b.num_rows, "session", object),
+                            pa.string()),
+            "k1": pc.cast(pc.cast(b["user_id"], pa.int64()), pa.string()),
+            "k2": pc.cast(b["session"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "ts_a": b["start_ts"], "ts_b": b["end_ts"]})
+
+    def tag_sliding(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tag": pa.array(np.full(b.num_rows, "sliding", object),
+                            pa.string()),
+            "k1": pc.cast(b["event_type"], pa.string()),
+            "k2": pa.array(np.zeros(b.num_rows, np.int64)),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "ts_a": b["win"], "ts_b": b["win"]})
+
+    sess = q_session_windows(sf_dir).map_batches(
+        tag_session, batch_format="pyarrow")
+    slide = q_sliding_window(sf_dir).map_batches(
+        tag_sliding, batch_format="pyarrow")
+    return sess.union(slide)
+
+
 # --- registry ----------------------------------------------------------------
 
 TEMPORAL_QUERIES = {
@@ -320,7 +354,12 @@ TEMPORAL_QUERIES = {
     "range_join": q_range_join,
     "session_windows": q_session_windows,
     "sliding_window": q_sliding_window,
+    "event_windows": q_event_windows,
 }
+
+#: driver-registry merge (r4): session/sliding register through the
+#: tagged union row; the standalone entries stay for tests
+TEMPORAL_MERGED = ("session_windows", "sliding_window")
 
 ORACLE_SQL: dict[str, str] = {
     "asof_join": (
@@ -366,3 +405,13 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT event_type, win, count(*) AS n, sum(c)::BIGINT"
         "  AS sum_cents FROM e GROUP BY event_type, win"),
 }
+
+ORACLE_SQL["event_windows"] = (
+    f"WITH s AS ({ORACLE_SQL['session_windows']}),"
+    f" w AS ({ORACLE_SQL['sliding_window']})"
+    " SELECT 'session' AS tag, CAST(user_id AS VARCHAR) AS k1,"
+    "  session AS k2, n, sum_cents, start_ts AS ts_a, end_ts AS ts_b"
+    " FROM s"
+    " UNION ALL"
+    " SELECT 'sliding' AS tag, event_type AS k1, 0::BIGINT AS k2,"
+    "  n, sum_cents, win AS ts_a, win AS ts_b FROM w")
