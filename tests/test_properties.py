@@ -261,3 +261,72 @@ def test_wav_roundtrip(n, ch, seed):
     rate, out = decode_wav(encode_wav(smp, sample_rate=8000))
     assert rate == 8000
     assert np.array_equal(out, smp)
+
+
+# --- round-4 additions: trigram sets, chunk explode, pack prefix scan ------
+
+@_SETTINGS
+@given(st.lists(texts, min_size=0, max_size=12))
+def test_string_trigram_sets_match_bruteforce(strs):
+    import pyarrow as pa
+
+    from eridu_ray.kernels.text import string_trigram_sets
+
+    cat, sizes = string_trigram_sets(pa.array(strs, pa.string()))
+    assert sizes.shape[0] == len(strs)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    for i, s in enumerate(strs):
+        b = s.encode("utf-8")
+        want = sorted({(b[j] << 16) | (b[j + 1] << 8) | b[j + 2]
+                       for j in range(max(0, len(b) - 2))})
+        assert cat[offs[i]:offs[i + 1]].tolist() == want
+
+
+@_SETTINGS
+@given(st.lists(texts, min_size=0, max_size=8))
+def test_chunk_batch_covers_and_reconstructs(strs):
+    import pyarrow as pa
+
+    from eridu_ray.pipelines.training import (CHUNK_CHARS, CHUNK_STRIDE,
+                                              chunk_batch)
+
+    b = pa.table({"doc_id": pa.array(range(len(strs)), pa.int64()),
+                  "text": pa.array(strs, pa.string())})
+    out = chunk_batch(b)
+    per = {}
+    for d, i, t in zip(out["doc_id"].to_pylist(),
+                       out["chunk_index"].to_pylist(),
+                       out["chunk_text"].to_pylist()):
+        per.setdefault(d, {})[i] = t
+    for d, s in enumerate(strs):
+        idx = per.get(d, {0: ""})
+        assert set(idx) == set(range(len(idx)))  # dense chunk indices
+        for i, t in idx.items():
+            assert t == s[i * CHUNK_STRIDE:i * CHUNK_STRIDE + CHUNK_CHARS]
+        # windows cover the whole doc
+        assert (len(idx) - 1) * CHUNK_STRIDE + CHUNK_CHARS >= len(s)
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=10_000),
+                          st.integers(min_value=0, max_value=5_000)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+def test_pack_shard_is_exact_prefix_scan(rows):
+    import pyarrow as pa
+
+    from eridu_ray.pipelines.training import PACK_BUDGET, pack_shard
+
+    g = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "shard": pa.array([0] * len(rows), pa.int64()),
+                  "chars": pa.array([r[1] for r in rows], pa.int64())})
+    out = pack_shard(g)
+    srt = sorted(rows)
+    cum = 0
+    want_cum, want_pack = [], []
+    for _, ln in srt:
+        want_pack.append(cum // PACK_BUDGET)
+        cum += ln
+        want_cum.append(cum)
+    assert out["doc_id"].to_pylist() == [r[0] for r in srt]
+    assert out["cum_chars"].to_pylist() == want_cum
+    assert out["pack_id"].to_pylist() == want_pack
