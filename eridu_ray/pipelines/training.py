@@ -90,10 +90,14 @@ def chunk_batch(b: pa.Table, chunk: int = CHUNK_CHARS,
     return pa.concat_tables(out)
 
 
-def q_chunk_docs(sf_dir: str):
-    """Overlapping fixed-size chunk explode over documents (oracle-paired)."""
+def q_chunk_docs(sf_dir: str, chunk: int = CHUNK_CHARS,
+                 stride: int = CHUNK_STRIDE):
+    """Overlapping fixed-size chunk explode over documents (oracle-paired
+    at the default chunk/stride — the module constants the SQL mirrors;
+    both are parameters, not baked literals)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+    return ds.map_batches(chunk_batch, batch_format="pyarrow",
+                          fn_kwargs={"chunk": chunk, "stride": stride})
 
 
 def pack_shard(g: pa.Table, budget: int = PACK_BUDGET) -> pa.Table:
@@ -111,21 +115,27 @@ def pack_shard(g: pa.Table, budget: int = PACK_BUDGET) -> pa.Table:
     })
 
 
-def q_pack_sequences(sf_dir: str):
-    """Shard assignment + per-shard prefix-scan packing (oracle-paired)."""
+def q_pack_sequences(sf_dir: str, num_shards: int = NUM_SHARDS,
+                     budget: int = PACK_BUDGET):
+    """Shard assignment + per-shard prefix-scan packing (oracle-paired at
+    the default shard count / budget).  ``num_shards`` is SEMANTIC (shard
+    ids are part of the result), not a parallelism knob: at scale one
+    raises it so each shard stays worker-sized, and the oracle constant
+    moves with it."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": b["doc_id"],
-            "shard": pa.array((did % NUM_SHARDS).astype(np.int64)),
+            "shard": pa.array((did % num_shards).astype(np.int64)),
             "chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
         })
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("shard")
-            .map_groups(pack_shard, batch_format="pyarrow"))
+            .map_groups(pack_shard, batch_format="pyarrow",
+                        fn_kwargs={"budget": budget}))
 
 
 TRAINING_QUERIES = {
