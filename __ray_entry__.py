@@ -118,6 +118,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     qs.update(CURATION_QUERIES)
 
+    # lexical retrieval: BM25 top-k (oracle-paired; the sparse baseline
+    # beside the embedding ANN family — slot freed by the
+    # quality_scores+doc_fingerprint -> doc_profile merge)
+    from eridu_ray.pipelines.retrieval import RETRIEVAL_QUERIES
+
+    qs.update(RETRIEVAL_QUERIES)
+
     # ANN over embeddings (rows-only; IVF recall gated in tests)
     def _ann_ivf(sf_dir: str):
         import ray.data as rd
@@ -285,10 +292,18 @@ def oracle_sql() -> dict[str, str]:
 
     TEMP_SQL = {k: v for k, v in _TEMP_ALL.items()
                 if k not in TEMPORAL_MERGED}
+    from eridu_ray.pipelines.retrieval import ORACLE_SQL as RETR_SQL
     from eridu_ray.pipelines.textstats import ORACLE_SQL as TEXT_SQL
     from eridu_ray.pipelines.training import ORACLE_SQL as TRAIN_SQL
     from eridu_ray.sources.csv_io import ORACLE_SQL as CSV_SQL
     from eridu_ray.stages.augment import ORACLE_SQL as AUG_SQL
 
-    return {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **TRAIN_SQL, **CSV_SQL,
-            **AUG_SQL, **CUR_SQL, "decontaminate": DECONTAMINATE_SQL}
+    merged = {**ORACLE_SQL, **TEMP_SQL, **TEXT_SQL, **TRAIN_SQL, **CSV_SQL,
+              **AUG_SQL, **CUR_SQL, **RETR_SQL,
+              "decontaminate": DECONTAMINATE_SQL}
+    # restrict to registered queries: the merged-row parents
+    # (quality_scores, doc_fingerprint, url_canon, redact_numbers) keep
+    # their SQL importable for the in-repo per-parent gates, but the
+    # driver contract pairs oracle keys 1:1 with queries()
+    reg = set(queries())
+    return {k: v for k, v in merged.items() if k in reg}

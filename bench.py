@@ -122,7 +122,8 @@ def run_bench() -> dict:
     queries = {"dedup_flagship": round(flagship_sec, 3)}
     query_steal = {"dedup_flagship": steal_frac}
     for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
-                  "exact_dedup", "embedding_topk", "quality_scores",
+                  "exact_dedup", "embedding_topk", "doc_profile",
+                  "bm25_topk", "trimmed_stats",
                   "semi_anti_join", "grouped_topk", "asof_join",
                   "length_percentiles", "decontaminate",
                   "repetition_quality", "semantic_dedup",

@@ -498,6 +498,137 @@ def q_doc_fingerprint(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_doc_profile(sf_dir):
+    """Per-document profile in ONE scan — the r4 ``quality_scores`` and
+    ``doc_fingerprint`` driver rows merged (both stay importable and
+    individually oracle-gated in tests/test_ops.py): whitespace token
+    count, exact integer mean-token-length numerator, hex-MD5
+    fingerprint, and the opaque-payload byte length.  Frees a registry
+    slot for the BM25 retrieval entry (pipelines/retrieval.py) while
+    every column of both parents still reaches the driver hash."""
+    import hashlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")),
+            pa.int64())
+        nchars = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in b["text"].to_pylist()]
+        payload = pc.cast(b["text"], pa.binary())
+        nbytes = pc.cast(pc.binary_length(payload), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": ntok,
+                         "sum_token_chars": pc.add(
+                             pc.subtract(nchars, ntok), 1),
+                         "fp": pa.array(fps, pa.string()),
+                         "payload_bytes": nbytes})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_regex_transforms(sf_dir):
+    """The two RE2 column-transform gates — digit-run redaction
+    (textstats.q_redact_numbers) and url canonicalization
+    (q_url_canon) — merged into ONE driver row / one scan; both parents
+    stay importable and individually oracle-gated in tests.  Frees a
+    registry slot for ``trimmed_stats``."""
+    from eridu_ray.kernels.text import canonicalize_urls
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.string())
+        raw = pc.binary_join_element_wise(
+            "HTTPS://WWW.", b["source"], ".com/", b["lang"], "/", did,
+            "/?utm_source=feed&id=", did, "#frag", "")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_nums": pc.cast(
+                pc.count_substring_regex(b["text"], "[0-9]+"), pa.int64()),
+            "red": pc.replace_substring_regex(b["text"], "[0-9]+", "#"),
+            "canon_url": canonicalize_urls(raw)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_trimmed_stats(sf_dir, num_pid: int | None = None):
+    """Two-pass derived-threshold aggregate (winsorized/trimmed stats):
+    per event_type, EXACT p5/p95 of ``value`` (quantile_disc — 1-indexed
+    rank ceil(q*n), the rule textstats._pctl_partition verified against
+    DuckDB), then count + integer-cents sum of the values inside
+    [p5, p95].
+
+    Scale shape: per-batch (event_type, value) histogram partials
+    combine before ONE pid(event_type) shuffle (exchange ∝ groups ×
+    distinct values, not rows); the partition kernel resolves the
+    thresholds AND the trimmed aggregate from the same merged histogram
+    — the second "pass" never re-reads the input."""
+    import math
+
+    import pandas as pd
+
+    if num_pid is None:
+        from eridu_ray.config import DEFAULT_CONFIG
+
+        num_pid = DEFAULT_CONFIG.num_partitions
+    from eridu_ray.kernels.hashing import hash_strings_u64
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas(),
+                "v": b["value"].to_numpy(zero_copy_only=False)})
+             .groupby(["event_type", "v"], sort=False).size()
+             .reset_index(name="n"))
+        hsh = hash_strings_u64(list(h["event_type"]))
+        return pa.table({
+            "event_type": pa.array(h["event_type"], pa.string()),
+            "v": pa.array(h["v"].to_numpy(), pa.float64()),
+            "n": pa.array(h["n"].to_numpy().astype(np.int64)),
+            "pid": pa.array((hsh % np.uint64(num_pid)).astype(np.int32))})
+
+    schema = pa.schema([("event_type", pa.string()),
+                        ("lo_cents", pa.int64()), ("hi_cents", pa.int64()),
+                        ("n_kept", pa.int64()), ("sum_cents", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        df = (pd.DataFrame({"et": g["event_type"].to_pandas(),
+                            "v": g["v"].to_numpy(zero_copy_only=False),
+                            "n": g["n"].to_numpy(zero_copy_only=False)})
+              .groupby(["et", "v"], sort=True)["n"].sum().reset_index())
+        out = {k: [] for k in ("et", "lo", "hi", "nk", "sc")}
+        # loop is over event_type GROUPS in this partition, not rows
+        for et, sub in df.groupby("et", sort=False):
+            vals = sub["v"].to_numpy()      # sorted asc by the groupby
+            cnt = sub["n"].to_numpy()
+            cum = cnt.cumsum()
+            total = int(cum[-1])
+            lo = vals[np.searchsorted(
+                cum, min(max(math.ceil(0.05 * total), 1), total))]
+            hi = vals[np.searchsorted(
+                cum, min(max(math.ceil(0.95 * total), 1), total))]
+            keep = (vals >= lo) & (vals <= hi)
+            cents = np.rint(vals[keep] * 100).astype(np.int64)
+            out["et"].append(et)
+            out["lo"].append(int(np.rint(lo * 100)))
+            out["hi"].append(int(np.rint(hi * 100)))
+            out["nk"].append(int(cnt[keep].sum()))
+            out["sc"].append(int((cents * cnt[keep]).sum()))
+        return pa.table({"event_type": pa.array(out["et"], pa.string()),
+                         "lo_cents": pa.array(out["lo"], pa.int64()),
+                         "hi_cents": pa.array(out["hi"], pa.int64()),
+                         "n_kept": pa.array(out["nk"], pa.int64()),
+                         "sum_cents": pa.array(out["sc"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pid").map_groups(part, batch_format="pyarrow"))
+
+
 def q_lang_id(sf_dir):
     """Language-ID heuristic (rows-only check; not SQL-expressible)."""
     from eridu_ray.kernels.text import detect_language
@@ -707,13 +838,13 @@ def build_queries() -> dict:
         "grouped_topk": q_grouped_topk,
         "join_agg": q_join_agg,
         "window_hourly": q_window_hourly,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
+        "doc_profile": q_doc_profile,
+        "regex_transforms": q_regex_transforms,
+        "trimmed_stats": q_trimmed_stats,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
-        "url_canon": q_url_canon,
         "error_examples": q_error_examples,
     }
 
@@ -815,6 +946,36 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": (
         "SELECT doc_id, md5(text) AS fp, "
         "strlen(text)::BIGINT AS payload_bytes FROM documents"),
+    "doc_profile": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+        "(length(text) - len(string_split(text, ' ')) + 1)::BIGINT "
+        "AS sum_token_chars, md5(text) AS fp, "
+        "strlen(text)::BIGINT AS payload_bytes FROM documents"),
+    "regex_transforms": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_nums, "
+        "regexp_replace(text, '[0-9]+', '#', 'g') AS red, "
+        "regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace("
+        "lower('HTTPS://WWW.' || source || '.com/' || lang || '/' || "
+        "doc_id || '/?utm_source=feed&id=' || doc_id || '#frag'), "
+        "'^[a-z][a-z0-9+.-]*://', '', 'g'), "
+        "'^www\\.', '', 'g'), "
+        "'#.*$', '', 'g'), "
+        "'(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'), "
+        "'[?&]+$', '', 'g'), "
+        "'/$', '', 'g') AS canon_url FROM documents"),
+    "trimmed_stats": (
+        "WITH b AS (SELECT event_type, quantile_disc(value, 0.05) AS lo, "
+        "quantile_disc(value, 0.95) AS hi FROM events GROUP BY 1) "
+        "SELECT e.event_type, "
+        "CAST(round(lo * 100) AS BIGINT) AS lo_cents, "
+        "CAST(round(hi * 100) AS BIGINT) AS hi_cents, "
+        "count(*) AS n_kept, "
+        "sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS sum_cents "
+        "FROM events e JOIN b USING (event_type) "
+        "WHERE e.value >= lo AND e.value <= hi "
+        "GROUP BY e.event_type, lo, hi"),
     # lang_id: rows-only (heuristic, not SQL-expressible)
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "

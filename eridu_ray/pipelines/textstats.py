@@ -415,10 +415,13 @@ def q_redact_numbers(sf_dir: str):
 
 TEXTSTATS_QUERIES = {
     # vocab_topk/bigram_topk stay importable and tested; the driver
-    # registry carries them merged as ngram_topk (50-entry window)
+    # registry carries them merged as ngram_topk (50-entry window).
+    # redact_numbers likewise registers through the merged
+    # relational.q_regex_transforms row (r4: freed a slot for
+    # trimmed_stats) and stays individually oracle-gated in
+    # tests/test_textstats.py.
     "ngram_topk": q_ngram_topk,
     "rarest_term": q_rarest_term,
-    "redact_numbers": q_redact_numbers,
     "length_percentiles": q_length_percentiles,
     "repetition_quality": q_repetition_quality,
 }
