@@ -565,8 +565,6 @@ def q_trimmed_stats(sf_dir, num_pid: int | None = None):
     distinct values, not rows); the partition kernel resolves the
     thresholds AND the trimmed aggregate from the same merged histogram
     — the second "pass" never re-reads the input."""
-    import math
-
     import pandas as pd
 
     if num_pid is None:
@@ -590,43 +588,56 @@ def q_trimmed_stats(sf_dir, num_pid: int | None = None):
             "n": pa.array(h["n"].to_numpy().astype(np.int64)),
             "pid": pa.array((hsh % np.uint64(num_pid)).astype(np.int32))})
 
-    schema = pa.schema([("event_type", pa.string()),
-                        ("lo_cents", pa.int64()), ("hi_cents", pa.int64()),
-                        ("n_kept", pa.int64()), ("sum_cents", pa.int64())])
-
-    def part(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return schema.empty_table()
-        df = (pd.DataFrame({"et": g["event_type"].to_pandas(),
-                            "v": g["v"].to_numpy(zero_copy_only=False),
-                            "n": g["n"].to_numpy(zero_copy_only=False)})
-              .groupby(["et", "v"], sort=True)["n"].sum().reset_index())
-        out = {k: [] for k in ("et", "lo", "hi", "nk", "sc")}
-        # loop is over event_type GROUPS in this partition, not rows
-        for et, sub in df.groupby("et", sort=False):
-            vals = sub["v"].to_numpy()      # sorted asc by the groupby
-            cnt = sub["n"].to_numpy()
-            cum = cnt.cumsum()
-            total = int(cum[-1])
-            lo = vals[np.searchsorted(
-                cum, min(max(math.ceil(0.05 * total), 1), total))]
-            hi = vals[np.searchsorted(
-                cum, min(max(math.ceil(0.95 * total), 1), total))]
-            keep = (vals >= lo) & (vals <= hi)
-            cents = np.rint(vals[keep] * 100).astype(np.int64)
-            out["et"].append(et)
-            out["lo"].append(int(np.rint(lo * 100)))
-            out["hi"].append(int(np.rint(hi * 100)))
-            out["nk"].append(int(cnt[keep].sum()))
-            out["sc"].append(int((cents * cnt[keep]).sum()))
-        return pa.table({"event_type": pa.array(out["et"], pa.string()),
-                         "lo_cents": pa.array(out["lo"], pa.int64()),
-                         "hi_cents": pa.array(out["hi"], pa.int64()),
-                         "n_kept": pa.array(out["nk"], pa.int64()),
-                         "sum_cents": pa.array(out["sc"], pa.int64())})
-
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("pid").map_groups(part, batch_format="pyarrow"))
+            .groupby("pid").map_groups(_trimmed_partition,
+                                       batch_format="pyarrow"))
+
+
+_TRIMMED_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("lo_cents", pa.int64()), ("hi_cents", pa.int64()),
+    ("n_kept", pa.int64()), ("sum_cents", pa.int64())])
+
+
+def _trimmed_partition(g: pa.Table) -> pa.Table:
+    """Partition kernel for q_trimmed_stats: merge (event_type, v, n)
+    histogram partials, resolve p5/p95 (quantile_disc = value at
+    1-indexed rank ceil(q·n) — property-gated against DuckDB in
+    tests/test_properties.py) and the trimmed count/cents-sum from the
+    same merged histogram."""
+    import math
+
+    import pandas as pd
+
+    if g.num_rows == 0:
+        return _TRIMMED_SCHEMA.empty_table()
+    df = (pd.DataFrame({"et": g["event_type"].to_pandas(),
+                        "v": g["v"].to_numpy(zero_copy_only=False),
+                        "n": g["n"].to_numpy(zero_copy_only=False)})
+          .groupby(["et", "v"], sort=True)["n"].sum().reset_index())
+    out = {k: [] for k in ("et", "lo", "hi", "nk", "sc")}
+    # loop is over event_type GROUPS in this partition, not rows
+    for et, sub in df.groupby("et", sort=False):
+        vals = sub["v"].to_numpy()      # sorted asc by the groupby
+        cnt = sub["n"].to_numpy()
+        cum = cnt.cumsum()
+        total = int(cum[-1])
+        lo = vals[np.searchsorted(
+            cum, min(max(math.ceil(0.05 * total), 1), total))]
+        hi = vals[np.searchsorted(
+            cum, min(max(math.ceil(0.95 * total), 1), total))]
+        keep = (vals >= lo) & (vals <= hi)
+        cents = np.rint(vals[keep] * 100).astype(np.int64)
+        out["et"].append(et)
+        out["lo"].append(int(np.rint(lo * 100)))
+        out["hi"].append(int(np.rint(hi * 100)))
+        out["nk"].append(int(cnt[keep].sum()))
+        out["sc"].append(int((cents * cnt[keep]).sum()))
+    return pa.table({"event_type": pa.array(out["et"], pa.string()),
+                     "lo_cents": pa.array(out["lo"], pa.int64()),
+                     "hi_cents": pa.array(out["hi"], pa.int64()),
+                     "n_kept": pa.array(out["nk"], pa.int64()),
+                     "sum_cents": pa.array(out["sc"], pa.int64())})
 
 
 def q_lang_id(sf_dir):

@@ -330,3 +330,46 @@ def test_pack_shard_is_exact_prefix_scan(rows):
     assert out["doc_id"].to_pylist() == [r[0] for r in srt]
     assert out["cum_chars"].to_pylist() == want_cum
     assert out["pack_id"].to_pylist() == want_pack
+
+
+@_SETTINGS
+@given(st.lists(
+    st.tuples(st.sampled_from(["A", "B", "C"]),
+              st.integers(min_value=-50_000, max_value=50_000),
+              st.integers(min_value=1, max_value=5)),
+    min_size=1, max_size=50))
+def test_trimmed_partition_matches_duckdb(rows):
+    """relational._trimmed_partition (histogram-resolved quantile_disc +
+    trimmed sum) == DuckDB's quantile_disc-based winsorized aggregate on
+    the expanded multiset — 2-decimal values, arbitrary groups/counts."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from eridu_ray.pipelines.relational import _trimmed_partition
+
+    # histogram partial rows (may contain duplicate (et, v) partials —
+    # the kernel must merge them); values are exact 2-decimal doubles
+    g = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "v": pa.array([r[1] / 100.0 for r in rows], pa.float64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "pid": pa.array([0] * len(rows), pa.int32())})
+    got = (_trimmed_partition(g).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+
+    expanded = pd.DataFrame(
+        [(et, cents / 100.0) for et, cents, n in rows for _ in range(n)],
+        columns=["event_type", "value"])
+    con = duckdb.connect()
+    con.register("events_t", expanded)
+    want = con.sql(
+        "WITH b AS (SELECT event_type, quantile_disc(value, 0.05) AS lo, "
+        "quantile_disc(value, 0.95) AS hi FROM events_t GROUP BY 1) "
+        "SELECT e.event_type, CAST(round(lo * 100) AS BIGINT) AS lo_cents, "
+        "CAST(round(hi * 100) AS BIGINT) AS hi_cents, count(*) AS n_kept, "
+        "sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS sum_cents "
+        "FROM events_t e JOIN b USING (event_type) "
+        "WHERE e.value >= lo AND e.value <= hi "
+        "GROUP BY e.event_type, lo, hi ORDER BY e.event_type").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
