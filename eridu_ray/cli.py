@@ -500,6 +500,28 @@ def substring(sf_dir: str, out_dir: str, min_span: int,
         ray.shutdown()
 
 
+@cli.command(context_settings={"show_default": True})
+@click.option("--sf-dir", default="/root/testdata/sf0.001",
+              help="Testdata dir holding documents.parquet")
+@click.option("--terms", default="dup,vector,merge",
+              help="Comma-separated query terms")
+@click.option("--top-k", default=20, type=int)
+@click.option("--num-cpus", default=0, type=int)
+def search(sf_dir: str, terms: str, top_k: int, num_cpus: int) -> None:
+    """BM25 lexical retrieval over the documents table: top-k doc_ids
+    by Okapi BM25 score of the query terms (pipelines/retrieval.py)."""
+    ray = _ray_session(num_cpus or None)
+    try:
+        from eridu_ray.pipelines.retrieval import q_bm25_topk
+
+        qterms = tuple(t for t in terms.split(",") if t)
+        rows = q_bm25_topk(sf_dir, k=top_k, terms=qterms).take_all()
+        click.echo(json.dumps({"terms": list(qterms), "k": top_k,
+                               "hits": rows}))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     cli(prog_name="eridu_ray")
 

@@ -56,7 +56,7 @@ def _rp(sf_dir: str, cols):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
 
-def _doc_term_stats(b: pa.Table):
+def _doc_term_stats(b: pa.Table, terms=QUERY_TERMS):
     """Vectorized per-doc (dl, tf-per-query-term) from one split pass:
     dl = token count after dropping '' (the oracle's list_filter), tf
     via bincount over the flat token stream masked per term."""
@@ -69,27 +69,29 @@ def _doc_term_stats(b: pa.Table):
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     dl = np.bincount(tok_doc[nonempty], minlength=b.num_rows)
     tfs = []
-    for t in QUERY_TERMS:
+    for t in terms:
         m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
         tfs.append(np.bincount(tok_doc[m], minlength=b.num_rows))
     return dl.astype(np.int64), [tf.astype(np.int64) for tf in tfs]
 
 
-def q_bm25_topk(sf_dir: str, k: int = TOPK):
-    """Top-k documents by BM25 score of QUERY_TERMS: (doc_id,
-    score_micro), score_micro = floor(score * 1e6), tie-break doc_id."""
+def q_bm25_topk(sf_dir: str, k: int = TOPK, terms=QUERY_TERMS):
+    """Top-k documents by BM25 score of ``terms``: (doc_id,
+    score_micro), score_micro = floor(score * 1e6), tie-break doc_id.
+    The driver registry runs the QUERY_TERMS default (oracle-paired);
+    the CLI ``search`` command passes arbitrary terms."""
     import ray
 
     ds = _rp(sf_dir, ["doc_id", "text"])
 
     stat_schema = pa.schema(
         [("n_docs", pa.int64()), ("sum_dl", pa.int64())]
-        + [(f"df{i}", pa.int64()) for i in range(len(QUERY_TERMS))])
+        + [(f"df{i}", pa.int64()) for i in range(len(terms))])
 
     def stats_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return stat_schema.empty_table()
-        dl, tfs = _doc_term_stats(b)
+        dl, tfs = _doc_term_stats(b, terms)
         row = {"n_docs": [b.num_rows], "sum_dl": [int(dl.sum())]}
         for i, tf in enumerate(tfs):
             row[f"df{i}"] = [int((tf > 0).sum())]
@@ -108,7 +110,7 @@ def q_bm25_topk(sf_dir: str, k: int = TOPK):
     sum_dl = float(pc.sum(parts["sum_dl"]).as_py())
     avgdl = sum_dl / n
     idfs = []
-    for i in range(len(QUERY_TERMS)):
+    for i in range(len(terms)):
         df = float(pc.sum(parts[f"df{i}"]).as_py() or 0)
         # SAME operand order as the SQL: ln(((n - df + .5)/(df + .5)) + 1)
         idfs.append(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
@@ -120,7 +122,7 @@ def q_bm25_topk(sf_dir: str, k: int = TOPK):
         if b.num_rows == 0:
             return empty
         idf, ad = ray.get(bref)
-        dl, tfs = _doc_term_stats(b)
+        dl, tfs = _doc_term_stats(b, terms)
         dlf = dl.astype(np.float64)
         # k1 * (1 - b + (b * dl) / avgdl), operand order mirrors the SQL
         denom_base = K1 * (ONE_MINUS_B + (B * dlf) / ad)

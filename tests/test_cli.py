@@ -219,3 +219,15 @@ def test_cli_does_not_kill_foreign_ray_session(runner, ray_session):
     runner.invoke(cli, ["report", "--parquet-path",
                         "/root/testdata/sf0.001/region.parquet"])
     assert ray.is_initialized()
+
+
+def test_search_cli(runner, ray_session):
+    res = runner.invoke(cli, ["search", "--sf-dir",
+                              "/root/testdata/sf0.001",
+                              "--terms", "dup,vector", "--top-k", "5"])
+    assert res.exit_code == 0, res.output
+    out = _last_json(res.output)
+    assert out["terms"] == ["dup", "vector"] and out["k"] == 5
+    assert len(out["hits"]) == 5
+    scores = [h["score_micro"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
