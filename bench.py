@@ -121,15 +121,19 @@ def run_bench() -> dict:
     # self-evidencing
     queries = {"dedup_flagship": round(flagship_sec, 3)}
     query_steal = {"dedup_flagship": steal_frac}
-    for qname in ("grouped_multi_agg", "join_agg", "window_hourly",
-                  "exact_dedup", "embedding_topk", "doc_profile",
-                  "bm25_topk", "trimmed_stats",
-                  "semi_anti_join", "grouped_topk", "asof_join",
-                  "length_percentiles", "decontaminate",
-                  "repetition_quality", "semantic_dedup",
-                  "c4_quality_filter", "boilerplate_ngrams",
-                  "source_ngram_overlap", "substring_cut",
-                  "chunk_docs", "pack_sequences"):
+    # ERIDU_BENCH_QUERIES=0: flagship-only (used by --size-sweep, where
+    # the corpus replication factor changes but the query tables don't)
+    qnames = () if os.environ.get("ERIDU_BENCH_QUERIES", "1") == "0" else (
+        "grouped_multi_agg", "join_agg", "window_hourly",
+        "exact_dedup", "embedding_topk", "doc_profile",
+        "bm25_topk", "trimmed_stats",
+        "semi_anti_join", "grouped_topk", "asof_join",
+        "length_percentiles", "decontaminate",
+        "repetition_quality", "semantic_dedup",
+        "c4_quality_filter", "boilerplate_ngrams",
+        "source_ngram_overlap", "substring_cut",
+        "chunk_docs", "pack_sequences")
+    for qname in qnames:
         fn = registry.get(qname) or relational.build_queries()[qname]
         runs = []
         for _ in range(max(1, best_of)):

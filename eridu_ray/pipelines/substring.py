@@ -11,9 +11,14 @@ rather than dropping whole documents).
 Stages (all Ray-Data, streaming):
 
 1. winnowing fingerprints as span candidates (kernels/shingle.py —
-   shared span >= window + k - 1 chars guarantees a shared fingerprint),
-   hot buckets triangle-salted so pair recall survives boilerplate
-   floods (stages/candidates.make_salted_explode);
+   the fps are winnow BIGRAMS ∪ repetition markers ∪ CDC hashes: a
+   shared non-repetitive span >= 2·window + k - 1 chars guarantees a
+   shared bigram fp, >= 3·window + k - 1 guarantees two, so the
+   family's window is 32 to keep both bounds inside the 100-char
+   contract — see _substring_cfg), hot buckets triangle-salted so pair
+   recall survives boilerplate floods
+   (stages/candidates.make_salted_explode), single-fp junk collisions
+   dropped by the flagship's winnow_min_hits=2 guard;
 2. exact verification by **generalized suffix array**
    (kernels/suffix.pair_longest_span): collision-free longest common
    substring WITH offsets in both docs — the rolling-hash verifier is
@@ -45,9 +50,29 @@ from eridu_ray.stages import candidates as cand
 
 #: span threshold for the documents-table operators — the flagship's 200
 #: assumes ~2.8 KB Common-Crawl pages; testdata documents average ~290
-#: chars, so the standalone family verifies at 100 (still far above the
-#: winnowing guarantee window + k - 1 = 68).
+#: chars, so the standalone family verifies at 100.
 DOC_MIN_SPAN = 100
+
+
+def _substring_cfg(num_partitions: int = 8) -> PipelineConfig:
+    """Candidate fingerprints for the standalone family use winnow
+    window 32 (the flagship's 64 assumes min_span=200): the fingerprints
+    are winnow BIGRAMS, whose non-repetitive guarantee is one shared fp
+    per 2·window + k - 1 = 68 <= DOC_MIN_SPAN chars and TWO shared fps
+    per 3·window + k - 1 = 100 <= DOC_MIN_SPAN chars — so the flagship's
+    winnow_min_hits=2 junk-pair guard is recall-complete at this
+    contract.  Without the guard, dense-shared-vocab corpora flood the
+    SA verify with single-fp collisions (measured at sf0.1: 1.29M
+    candidate pairs for 223 true spans — 103 s; guarded: see
+    BASELINE.md round-4 notes)."""
+    return PipelineConfig(num_partitions=num_partitions, winnow_window=32)
+
+
+def _span_guard_hits(cfg: PipelineConfig, min_span: int) -> int:
+    """winnow_min_hits valid for ``min_span`` under cfg's window: 2 when
+    the two-bigram guarantee bound fits inside the contract, else 1
+    (guard off — completeness beats speed)."""
+    return 2 if min_span >= 3 * cfg.winnow_window + cfg.shingle_k - 1 else 1
 
 
 def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
@@ -57,14 +82,19 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
 
     doc_id_a < doc_id_b always; (pos_a, pos_b) locate one maximal shared
     span (the suffix-array argmax — deterministic given the texts).
+
+    Candidates carry the flagship's winnow junk-pair guard when the
+    two-bigram guarantee covers ``min_span`` under the config's window
+    (see _substring_cfg) — single-fingerprint collisions on
+    dense-shared-vocab corpora otherwise flood the per-pair SA verify.
     """
     from eridu_ray.stages.verify import attach_texts, prune_to_pair_nodes
 
-    cfg = cfg or PipelineConfig(num_partitions=8)
+    cfg = cfg or _substring_cfg()
     sigs = _signatures(sf_dir, cfg).materialize()
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.WinnowExploder(cfg), "fp_key", "winnow",
-        est_min=None)
+        est_min=None, winnow_min_hits=_span_guard_hits(cfg, min_span))
 
     def widen(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -75,25 +105,37 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
             "jaccard": pa.nulls(n, pa.float64())})
 
     sub = pairs.map_batches(widen, batch_format="pyarrow").materialize()
-    texts, _ = prune_to_pair_nodes(
+    # the pid-groupby upstream coalesces to a handful of blocks and
+    # map_batches never splits a block across tasks — the per-pair
+    # verify below is CPU-bound, so split to ~8k pairs/task (measured:
+    # 3 tasks = 71 s vs ~6 s split, 822k pairs at 32 CPUs); plain
+    # repartition is a split/coalesce, not an all-to-all
+    n_pairs = sub.count()
+    nb = max(cfg.num_partitions, min(512, (n_pairs + 8191) // 8192))
+    sub = sub.repartition(nb).materialize()
+    texts, n_nodes = prune_to_pair_nodes(
         sub, sigs.select_columns(["node_id", "text"]), cfg,
         max_nodes=5_000_000)
-    joined = attach_texts(sub, texts, cfg).repartition(cfg.num_partitions)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def _verify_rows(ta, tb, ids_a, ids_b):
+        """Tiered exact verify, shared by both layouts: rolling-hash
+        length gate first (never underestimates — hash equality can
+        only falsely CONFIRM, so a sub-threshold tier-1 length proves
+        the true span is sub-threshold), collision-free SA with offsets
+        only for the survivors (~pairs-with-real-spans, not
+        candidates)."""
+        from eridu_ray.kernels.shingle import shared_run_length
         from eridu_ray.kernels.suffix import pair_longest_span
 
-        ta = batch["text_a"].to_pylist()
-        tb = batch["text_b"].to_pylist()
-        ids_a = np.array([int(u) for u in batch["url_a"].to_pylist()],
-                         np.int64)
-        ids_b = np.array([int(u) for u in batch["url_b"].to_pylist()],
-                         np.int64)
-        n = batch.num_rows
+        n = len(ta)
         ln = np.zeros(n, np.int64)
         pos_a = np.full(n, -1, np.int64)
         pos_b = np.full(n, -1, np.int64)
-        for i in range(n):
+        ids_a = np.asarray(ids_a, np.int64).copy()
+        ids_b = np.asarray(ids_b, np.int64).copy()
+        for i in range(n):  # inherent per-pair string work, task-bounded
+            if shared_run_length(ta[i], tb[i]) < min_span:
+                continue
             length, xa, xb = pair_longest_span(ta[i], tb[i],
                                                min_len=min_span)
             # orient to doc_id order (keep-first: a = smaller id)
@@ -107,9 +149,70 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
             "span_len": pa.array(ln),
             "pos_a": pa.array(pos_a), "pos_b": pa.array(pos_b)})
 
-    return (joined.map_batches(verify, batch_format="pyarrow",
-                               batch_size=256)
-            .filter(expr=f"span_len >= {min_span}"))
+    # layout dispatch, the flagship verify's pattern (stages/verify.py):
+    # while the pair-pruned text table fits the broadcast budget it
+    # ships ONCE per node via ray.put and pairs verify map-side — no
+    # per-pair text copies enter any shuffle (the naive attach sorts
+    # |pairs| × ~2 texts: measured 84 s vs ~14 s at sf0.1's 822k
+    # guarded candidates).  Above the budget (or the 5M-node prune
+    # cap), the join-free union+pid-groupby attach is the 100 TB path.
+    total_bytes = 0
+    if n_nodes is not None:
+        import pyarrow.compute as pc
+
+        for b in texts.map_batches(
+                lambda t: pa.table({"nb": pa.array(
+                    [int(pc.sum(pc.utf8_length(t["text"])).as_py() or 0)
+                     + 64 * t.num_rows], pa.int64())}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+            total_bytes += int(pc.sum(b["nb"]).as_py() or 0)
+
+    if n_nodes is not None and total_bytes <= cfg.verify_broadcast_max_bytes:
+        import ray
+
+        ids_parts, txt_parts = [], []
+        for b in texts.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            ids_parts.append(b["node_id"].to_numpy(zero_copy_only=False))
+            txt_parts.extend(b["text"].to_pylist())
+        ids = (np.concatenate(ids_parts) if ids_parts
+               else np.array([], np.int64))
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        txts = [txt_parts[i] for i in order]
+        ref = ray.put((ids, txts))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            ids_s, t_s = ray.get(ref)
+            na = batch["node_a"].to_numpy(zero_copy_only=False)
+            nb_ = batch["node_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, na)
+            ib = np.searchsorted(ids_s, nb_)
+            ta = [t_s[i] for i in ia]
+            tb = [t_s[i] for i in ib]
+            return _verify_rows(
+                ta, tb,
+                [int(u) for u in batch["url_a"].to_pylist()],
+                [int(u) for u in batch["url_b"].to_pylist()])
+
+        verified = sub.map_batches(verify_broadcast,
+                                   batch_format="pyarrow",
+                                   batch_size=2048)
+    else:
+        joined = attach_texts(sub, texts, cfg).repartition(
+            cfg.num_partitions)
+
+        def verify_reduce(batch: pa.Table) -> pa.Table:
+            return _verify_rows(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+                [int(u) for u in batch["url_a"].to_pylist()],
+                [int(u) for u in batch["url_b"].to_pylist()])
+
+        verified = joined.map_batches(verify_reduce,
+                                      batch_format="pyarrow",
+                                      batch_size=256)
+    return verified.filter(expr=f"span_len >= {min_span}")
 
 
 _CUT_SCHEMA = pa.schema([
@@ -194,7 +297,7 @@ def substring_cut(sf_dir: str, cfg: PipelineConfig | None = None,
 
     from eridu_ray.kernels.hashing import splitmix64
 
-    cfg = cfg or PipelineConfig(num_partitions=8)
+    cfg = cfg or _substring_cfg()
     nb = cfg.bucket_partitions
     spans = substring_spans(sf_dir, cfg, min_span=min_span)
 

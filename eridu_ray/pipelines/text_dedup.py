@@ -42,7 +42,7 @@ def _signatures(sf_dir: str, cfg: PipelineConfig):
         batch_size=cfg.batch_size)
 
 
-def _dedup_full_pairs_fn(group: pa.Table) -> pa.Table:
+def make_dedup_full_pairs_fn(winnow_min_hits: int = 1):
     """Cross-band (node_a, node_b) dedup over one pair-pid partition,
     KEEPING the url columns (the slim kernel drops them): vectorized
     run detection, singles pass through zero-copy, duplicate runs merge
@@ -50,52 +50,82 @@ def _dedup_full_pairs_fn(group: pa.Table) -> pa.Table:
     semantics to candidates.dedup_pairs_fn without its one-group-per-
     distinct-pair groupby (Ray's sort aggregate over millions of
     distinct keys is the measured slow path; pid buckets amortize it).
+
+    ``winnow_min_hits`` > 1 applies the flagship's winnow junk-pair
+    guard (candidates.make_dedup_pairs_partition_fn): pairs tagged
+    EXACTLY "winnow" that shared fewer than that many distinct
+    fingerprints drop.  Callers must size the guard to their span
+    contract — a true non-repetitive span of >= 3·window + k - 1 chars
+    shares >= 2 bigram fingerprints, so min_hits=2 is complete only
+    when min_span >= that bound (substring_spans computes this).  No
+    sketch-estimate rescue here: estimates are near-dup signals, and
+    on dense-shared-vocab corpora they are high for junk pairs too.
     """
-    a = group["node_a"].to_numpy(zero_copy_only=False)
-    b = group["node_b"].to_numpy(zero_copy_only=False)
-    n = a.shape[0]
-    order = np.lexsort((b, a))
-    a_s, b_s = a[order], b[order]
-    new_run = np.concatenate(
-        [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
-    starts = np.nonzero(new_run)[0]
-    ends = np.concatenate([starts[1:], [n]])
-    singles = order[starts[ends - starts == 1]]
-    parts = []
-    if singles.size:
-        parts.append(group.take(pa.array(np.sort(singles))))
-    multi = np.nonzero(ends - starts >= 2)[0]
-    if multi.size:
-        srcs = group["src"].to_pylist()
-        est_np = group["est"].to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        keep_idx, ms, me = [], [], []
-        for r in multi:
-            rows = order[int(starts[r]):int(ends[r])]
-            tags = set()
-            best = None
-            for i in rows:
-                tags.update(srcs[i].split(","))
-                v = est_np[i]
-                if v == v and (best is None or v > best):
-                    best = v
-            keep_idx.append(int(rows[0]))
-            ms.append(",".join(sorted(tags)))
-            me.append(best)
-        t = group.take(pa.array(keep_idx)).drop_columns(["src", "est"])
-        t = t.append_column("src", pa.array(ms, pa.string()))
-        t = t.append_column("est", pa.array(me, pa.float64()))
-        parts.append(t.select(group.column_names))
-    if not parts:
-        return group.slice(0, 0)
-    return pa.concat_tables(parts)
+    def fn(group: pa.Table) -> pa.Table:
+        a = group["node_a"].to_numpy(zero_copy_only=False)
+        b = group["node_b"].to_numpy(zero_copy_only=False)
+        n = a.shape[0]
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new_run = np.concatenate(
+            [[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+        starts = np.nonzero(new_run)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        lens = ends - starts
+        srcs = None
+        singles = order[starts[lens == 1]]
+        parts = []
+        if singles.size:
+            if winnow_min_hits > 1:
+                srcs = group["src"].to_pylist()
+                singles = np.array(
+                    [i for i in singles if srcs[i] != "winnow"],
+                    dtype=np.int64)
+            if singles.size:
+                parts.append(group.take(pa.array(np.sort(singles))))
+        multi = np.nonzero(lens >= 2)[0]
+        if multi.size:
+            if srcs is None:
+                srcs = group["src"].to_pylist()
+            est_np = group["est"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            keep_idx, ms, me = [], [], []
+            for r in multi:
+                rows = order[int(starts[r]):int(ends[r])]
+                tags = set()
+                best = None
+                for i in rows:
+                    tags.update(srcs[i].split(","))
+                    v = est_np[i]
+                    if v == v and (best is None or v > best):
+                        best = v
+                if tags == {"winnow"} and len(rows) < winnow_min_hits:
+                    continue
+                keep_idx.append(int(rows[0]))
+                ms.append(",".join(sorted(tags)))
+                me.append(best)
+            if keep_idx:
+                t = group.take(pa.array(keep_idx)).drop_columns(
+                    ["src", "est"])
+                t = t.append_column("src", pa.array(ms, pa.string()))
+                t = t.append_column("est", pa.array(me, pa.float64()))
+                parts.append(t.select(group.column_names))
+        if not parts:
+            return group.slice(0, 0)
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+_dedup_full_pairs_fn = make_dedup_full_pairs_fn()
 
 
 def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
                             src: str, est_min: float | None,
                             max_hamming: int | None = None,
                             stats: dict | None = None,
-                            dedup: bool = True):
+                            dedup: bool = True,
+                            winnow_min_hits: int = 1):
     """Explode -> hot-bucket pre-count -> salted explode -> exact pairs.
 
     Pair-emitting ops must not lose pairs in hot buckets, so instead of
@@ -134,7 +164,8 @@ def _salted_candidate_pairs(sigs, cfg: PipelineConfig, exploder, key_col: str,
         return pairs
     return (cand.add_pair_pid(pairs, cfg.bucket_partitions)
             .groupby("pid")
-            .map_groups(_dedup_full_pairs_fn, batch_format="pyarrow")
+            .map_groups(make_dedup_full_pairs_fn(winnow_min_hits),
+                        batch_format="pyarrow")
             .drop_columns(["pid"]))
 
 

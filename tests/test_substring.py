@@ -172,3 +172,43 @@ def test_substring_cut_runs_on_testdata():
     assert list(out.columns) == ["doc_id", "n_spans", "removed_chars"]
     assert (out["removed_chars"] > 0).all()
     assert (out["n_spans"] >= 1).all()
+
+
+def test_substring_span_contract_boundary(tmp_path):
+    """A span of EXACTLY DOC_MIN_SPAN=100 chars sits below the old
+    window-64 bigram guarantee (2*64+4 = 132) — the family's window-32
+    config guarantees one shared bigram at 68 and TWO at 100, so the
+    junk-pair guard (winnow_min_hits=2) keeps it; an 80-char span stays
+    sub-threshold."""
+    rng = np.random.default_rng(7)
+
+    def filler(tag, n):
+        return " ".join(f"{tag}t{j}x{rng.integers(10 ** 6)}"
+                        for j in range(n))
+
+    def stream(tag, n_chars):
+        s = filler(tag, n_chars // 6 + 4).replace(" ", "_")
+        return s[:n_chars]
+
+    s100 = stream("B1", 100)
+    s80 = stream("B2", 80)
+    texts = {
+        0: filler("d0a", 20) + "<" + s100 + ">" + filler("d0b", 20),
+        1: filler("d1a", 20) + "{" + s100 + "}" + filler("d1b", 20),
+        2: filler("d2a", 20) + "<" + s80 + ">" + filler("d2b", 20),
+        3: filler("d3a", 20) + "{" + s80 + "}" + filler("d3b", 20),
+    }
+    tab = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tab, str(d / "documents.parquet"))
+
+    from eridu_ray.pipelines.substring import substring_spans
+
+    spans = substring_spans(str(d)).to_pandas()
+    got = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.span_len)
+           for r in spans.itertuples()}
+    assert got == {(0, 1): 100}, got
