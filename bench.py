@@ -10,6 +10,8 @@ Usage:
                                      # cc_driver_max_edges=0
     python bench.py --incremental    # 10% daily-increment fold vs full
                                      # from-scratch rerun (incremental.py)
+    python bench.py --size-sweep     # corpus-size linearity: flagship at
+                                     # 1x/4x/16x pages, fresh processes
 
 Env:
     GRAFT_SF_DIR       input tables dir   (default /root/testdata/sf0.1)
@@ -571,6 +573,64 @@ def run_scaling() -> dict:
     }
 
 
+def run_size_sweep() -> dict:
+    """Corpus-size linearity: the flagship at 1×/4×/16× the driver-bench
+    corpus (ERIDU_BENCH_REPEAT 4/16/64, fat=3), fresh process per size,
+    flagship-only (ERIDU_BENCH_QUERIES=0).  At the 100 TB design point
+    throughput must hold as the corpus grows — docs/s across a 16×
+    span is the evidence (pair volume grows mildly superlinearly with
+    replication, so flat-or-rising docs/s is the pass signal).  Each
+    size samples best-of-2 in-process; steal fractions are carried so a
+    contended sample is self-evidencing."""
+    import subprocess
+
+    repeats = [int(r) for r in os.environ.get(
+        "ERIDU_SWEEP_REPEATS", "4,16,64").split(",")]
+
+    def one(repeat: int) -> dict:
+        env = dict(os.environ,
+                   ERIDU_BENCH_REPEAT=str(repeat),
+                   ERIDU_BENCH_QUERIES="0")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(
+                f"[bench --size-sweep] child (repeat={repeat}) exited "
+                f"{out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-30:]) + "\n")
+            raise RuntimeError(f"size-sweep child failed (repeat={repeat})")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    sizes = []
+    for r in repeats:
+        sys.stderr.write(f"[bench --size-sweep] repeat={r} starting\n")
+        res = one(r)
+        sys.stderr.write(
+            f"[bench --size-sweep] repeat={r}: {res['value']} s, "
+            f"{res['docs_per_sec']} docs/s, steal "
+            f"{res.get('steal_frac')}\n")
+        sizes.append({
+            "repeat": r,
+            "n_pages": res["n_pages"],
+            "sec": res["value"],
+            "docs_per_sec": res["docs_per_sec"],
+            "steal_frac": res.get("steal_frac"),
+            "stages": res.get("stages"),
+        })
+    base, top = sizes[0], sizes[-1]
+    return {
+        "metric": "size_sweep_docs_per_sec_ratio",
+        # >= 1 means throughput held or rose across the size span
+        "value": round(top["docs_per_sec"] / base["docs_per_sec"], 3),
+        "unit": "ratio",
+        "sizes": sizes,
+        "span": round(top["n_pages"] / base["n_pages"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     # Ray's raylet warnings print straight to fd 1 even with
     # log_to_driver=False; route fd 1 to stderr for the run so stdout
@@ -580,6 +640,8 @@ if __name__ == "__main__":
     try:
         if "--scaling" in sys.argv:
             result = run_scaling()
+        elif "--size-sweep" in sys.argv:
+            result = run_size_sweep()
         elif "--cc" in sys.argv:
             result = run_cc_bench()
             import ray

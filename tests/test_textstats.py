@@ -98,8 +98,12 @@ def test_rarest_term_join_path_matches_oracle(ray_session):
 
 
 def test_redact_is_re2_exact(ray_session):
-    got = (TEXTSTATS_QUERIES["redact_numbers"](SF)
-           .to_pandas().set_index("doc_id"))
+    # redact_numbers left TEXTSTATS_QUERIES when the driver registry
+    # merged it into relational.q_regex_transforms; the function and its
+    # SQL stay importable and gated here
+    from eridu_ray.pipelines.textstats import q_redact_numbers
+
+    got = q_redact_numbers(SF).to_pandas().set_index("doc_id")
     import pyarrow.parquet as pq
     import re
 
