@@ -98,15 +98,17 @@ def q_bm25_topk(sf_dir: str, k: int = TOPK, terms=QUERY_TERMS):
         return pa.table(row, schema=stat_schema)
 
     # bounded driver artifact: ONE slim row per input block
-    parts = pa.concat_tables(
+    part_list = list(
         ds.map_batches(stats_partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = (pa.concat_tables(part_list) if part_list
+             else stat_schema.empty_table())
     n = float(pc.sum(parts["n_docs"]).as_py() or 0)
     if n == 0:
-        return _rp(sf_dir, ["doc_id"]).limit(0).map_batches(
-            lambda b: pa.table({"doc_id": pa.array([], pa.int64()),
-                                "score_micro": pa.array([], pa.int64())}),
-            batch_format="pyarrow")
+        # empty corpus: return the Arrow table directly — a 0-row Ray
+        # Dataset drops its column schema through to_pandas()
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micro": pa.array([], pa.int64())})
     sum_dl = float(pc.sum(parts["sum_dl"]).as_py())
     avgdl = sum_dl / n
     idfs = []

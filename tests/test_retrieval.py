@@ -79,3 +79,30 @@ def test_bm25_rare_term_docs_rank_first(ray_result):
                if "dup" in t.split(" ")}
     top = list(ray_result["doc_id"][:5])
     assert all(i in has_dup for i in top), top
+
+
+def test_bm25_empty_corpus(tmp_path):
+    """The n_docs == 0 guard: schema-stable empty result, no div-by-zero."""
+    import ray.data as rd
+
+    tab = pa.table({"doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tab, str(d / "documents.parquet"))
+    out = q_bm25_topk(str(d)).to_pandas()
+    assert list(out.columns) == ["doc_id", "score_micro"]
+    assert len(out) == 0
+
+
+def test_bm25_absent_terms(tmp_path):
+    """Query terms absent from the corpus: every score is 0 -> no hits
+    (the score_micro > 0 filter), not a crash."""
+    tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["alpha beta", "beta gamma"],
+                                     pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tab, str(d / "documents.parquet"))
+    out = q_bm25_topk(str(d), terms=("zzz",)).to_pandas()
+    assert len(out) == 0
