@@ -138,6 +138,23 @@ class PipelineConfig:
                                 # tests), so it is a layout knob
                                 # excluded from config_hash.
 
+    disable_op_reservation: bool = True  # run_dedup scope: turn OFF Ray
+                                # Data's per-operator object-store
+                                # reservation (ReservationOpResource-
+                                # Allocator) for the pipeline's heavy
+                                # stages.  The allocator slices one
+                                # budget across the ~25 operators of
+                                # the chained all-to-all verify DAG and
+                                # LIVELOCKS once several barrier queues
+                                # hold GBs at once (measured at 633k
+                                # fat pages: frozen 20+ min under both
+                                # shuffle strategies; off -> 138 s, and
+                                # 9-13% faster at every smaller size —
+                                # BASELINE.md).  Spilling still bounds
+                                # memory; the caller's setting is
+                                # restored on return.  Layout knob,
+                                # excluded from config_hash.
+
     incremental_prune_state: bool = True  # v3 fold reads: prune the
                                 # persisted prior explode partitions to
                                 # buckets a NEW key touches (key column
@@ -171,7 +188,8 @@ class PipelineConfig:
                   "num_partitions", "cc_partitions", "cc_driver_max_edges",
                   "checkpoint_dir", "verify_strategy",
                   "verify_broadcast_max_bytes", "bucket_partitions",
-                  "incremental_prune_state", "span_strategy"):
+                  "incremental_prune_state", "span_strategy",
+                  "disable_op_reservation"):
             d.pop(k)
         d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()

@@ -76,6 +76,43 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
               use_scorer_edges: bool | None = None, *,
               signatures_override=None, skip_pairs_both_in=None,
               extra_edges=None, candidate_state_dir=None) -> DedupResult:
+    """Public entry: ``_run_dedup_inner`` under the executor-allocator
+    scope.  ``cfg.disable_op_reservation`` (default True) turns off Ray
+    Data's per-operator object-store reservation for the pipeline's
+    execution — the allocator livelocks the chained all-to-all verify
+    DAG once several barrier queues hold GBs at once (measured at 633k
+    fat pages; BASELINE.md "executor reservation livelock").  The
+    caller's context setting is restored on return; the heavy stages
+    all materialize inside this scope."""
+    cfg = cfg or PipelineConfig()
+    if not cfg.disable_op_reservation:
+        return _run_dedup_inner(
+            pages, cfg, use_scorer_edges,
+            signatures_override=signatures_override,
+            skip_pairs_both_in=skip_pairs_both_in,
+            extra_edges=extra_edges,
+            candidate_state_dir=candidate_state_dir)
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    prev = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
+    try:
+        return _run_dedup_inner(
+            pages, cfg, use_scorer_edges,
+            signatures_override=signatures_override,
+            skip_pairs_both_in=skip_pairs_both_in,
+            extra_edges=extra_edges,
+            candidate_state_dir=candidate_state_dir)
+    finally:
+        ctx.op_resource_reservation_enabled = prev
+
+
+def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
+                     use_scorer_edges: bool | None = None, *,
+                     signatures_override=None, skip_pairs_both_in=None,
+                     extra_edges=None, candidate_state_dir=None
+                     ) -> DedupResult:
     """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
 
     With ``cfg.checkpoint_dir`` set, signatures / verified / edges / labels
