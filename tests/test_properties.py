@@ -373,3 +373,37 @@ def test_trimmed_partition_matches_duckdb(rows):
         "WHERE e.value >= lo AND e.value <= hi "
         "GROUP BY e.event_type, lo, hi ORDER BY e.event_type").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@_SETTINGS
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),
+              st.integers(min_value=0, max_value=6),
+              st.sampled_from(["winnow", "simhash", "minhash"])),
+    min_size=0, max_size=60))
+def test_dedup_full_pairs_guard_matches_bruteforce(rows):
+    """make_dedup_full_pairs_fn(min_hits=2): per distinct (a, b) pair,
+    kept iff its tag union is not exactly {winnow} OR it has >= 2
+    copies; surviving rows carry the sorted tag union."""
+    import pyarrow as pa
+
+    from eridu_ray.pipelines.text_dedup import make_dedup_full_pairs_fn
+
+    rows = [(min(a, b), max(a, b) + 7, s) for a, b, s in rows]
+    g = pa.table({
+        "node_a": pa.array([r[0] for r in rows], pa.int64()),
+        "node_b": pa.array([r[1] for r in rows], pa.int64()),
+        "url_a": pa.array([str(r[0]) for r in rows], pa.string()),
+        "url_b": pa.array([str(r[1]) for r in rows], pa.string()),
+        "src": pa.array([r[2] for r in rows], pa.string()),
+        "est": pa.array([float("nan")] * len(rows), pa.float64())})
+    out = make_dedup_full_pairs_fn(2)(g)
+    got = {(int(a), int(b)): s for a, b, s in
+           zip(out["node_a"].to_pylist(), out["node_b"].to_pylist(),
+               out["src"].to_pylist())}
+    want = {}
+    for a, b, s in rows:
+        want.setdefault((a, b), []).append(s)
+    want = {k: ",".join(sorted(set(v))) for k, v in want.items()
+            if not (set(v) == {"winnow"} and len(v) < 2)}
+    assert got == want
