@@ -155,6 +155,24 @@ class PipelineConfig:
                                 # restored on return.  Layout knob,
                                 # excluded from config_hash.
 
+    membership_broadcast_max_nodes: int = 200_000_000  # incremental
+                                # fold: the prior-corpus node-id
+                                # membership used to drop prior-prior
+                                # pairs / filter new rows ships as ONE
+                                # ray.put sorted int64 array while the
+                                # prior corpus is <= this many docs
+                                # (8 B/doc -> 1.6 GB at the default, a
+                                # small slice of a 128 GB node).  Above
+                                # it (the 10^12-prior-doc regime, where
+                                # the array would be ~8 TB) the fold
+                                # switches to hash-partitioned semi/
+                                # anti joins on node_id — no driver or
+                                # per-worker O(prior) artifact at all.
+                                # Both paths produce byte-identical
+                                # labels (forced-path gate in
+                                # tests/test_incremental.py); layout
+                                # knob, excluded from config_hash.
+
     incremental_prune_state: bool = True  # v3 fold reads: prune the
                                 # persisted prior explode partitions to
                                 # buckets a NEW key touches (key column
@@ -189,7 +207,8 @@ class PipelineConfig:
                   "checkpoint_dir", "verify_strategy",
                   "verify_broadcast_max_bytes", "bucket_partitions",
                   "incremental_prune_state", "span_strategy",
-                  "disable_op_reservation"):
+                  "disable_op_reservation",
+                  "membership_broadcast_max_nodes"):
             d.pop(k)
         d["kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()

@@ -86,9 +86,13 @@ def detect_language(text: str, max_chars: int = 2000) -> str:
         elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
             han += 1
     n = len(sample)
-    if han > 0.05 * n:
+    # integer-exact thresholds (han/n > 5%, cyr/n > 25%): float
+    # `han > 0.05 * n` differs at representation boundaries, and the
+    # DuckDB oracle twin (relational.ORACLE_SQL["lang_id"]) must agree
+    # bit-for-bit on every input
+    if han * 20 > n:
         return "zh"
-    if cyr > 0.25 * n:
+    if cyr * 4 > n:
         return "ru"
     words = [w.lower() for w in _WORD_RE.findall(sample)]
     if not words:

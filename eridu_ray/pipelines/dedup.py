@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from eridu_ray.config import PipelineConfig
 from eridu_ray.stages import candidates as cand
@@ -75,15 +76,21 @@ def compute_signatures(pages, cfg: PipelineConfig):
 def run_dedup(pages, cfg: PipelineConfig | None = None,
               use_scorer_edges: bool | None = None, *,
               signatures_override=None, skip_pairs_both_in=None,
-              extra_edges=None, candidate_state_dir=None) -> DedupResult:
+              extra_edges=None, candidate_state_dir=None,
+              input_fingerprint_override=None) -> DedupResult:
     """Public entry: ``_run_dedup_inner`` under the executor-allocator
     scope.  ``cfg.disable_op_reservation`` (default True) turns off Ray
     Data's per-operator object-store reservation for the pipeline's
     execution — the allocator livelocks the chained all-to-all verify
     DAG once several barrier queues hold GBs at once (measured at 633k
     fat pages; BASELINE.md "executor reservation livelock").  The
-    caller's context setting is restored on return; the heavy stages
-    all materialize inside this scope."""
+    caller's context setting is restored on return.  Every heavy stage
+    INCLUDING the final labels materializes inside this scope (with
+    ``checkpoint_dir`` set the checkpoint writes are the
+    materialization); the one exception is ``span_edges``, which stays
+    lazy because many callers never consume it — a caller that does
+    executes it under its OWN DataContext (ADVICE r4; the CLI ``dedup``
+    command and bench.py consume inside scopes of their own)."""
     cfg = cfg or PipelineConfig()
     if not cfg.disable_op_reservation:
         return _run_dedup_inner(
@@ -91,7 +98,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             signatures_override=signatures_override,
             skip_pairs_both_in=skip_pairs_both_in,
             extra_edges=extra_edges,
-            candidate_state_dir=candidate_state_dir)
+            candidate_state_dir=candidate_state_dir,
+            input_fingerprint_override=input_fingerprint_override)
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
@@ -103,7 +111,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
             signatures_override=signatures_override,
             skip_pairs_both_in=skip_pairs_both_in,
             extra_edges=extra_edges,
-            candidate_state_dir=candidate_state_dir)
+            candidate_state_dir=candidate_state_dir,
+            input_fingerprint_override=input_fingerprint_override)
     finally:
         ctx.op_resource_reservation_enabled = prev
 
@@ -111,7 +120,8 @@ def run_dedup(pages, cfg: PipelineConfig | None = None,
 def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
                      use_scorer_edges: bool | None = None, *,
                      signatures_override=None, skip_pairs_both_in=None,
-                     extra_edges=None, candidate_state_dir=None
+                     extra_edges=None, candidate_state_dir=None,
+                     input_fingerprint_override=None
                      ) -> DedupResult:
     """Run the full pipeline on a pages Dataset (url/warc_ts/html/text/lang).
 
@@ -127,17 +137,27 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
     silently resumed under the other.
 
     The keyword-only hooks exist for :func:`run_dedup_incremental`
-    (pipelines/incremental.py) and require ``cfg.checkpoint_dir is None``
-    (the stage-lineage fingerprint has no meaning for a composed input):
+    (pipelines/incremental.py):
     ``signatures_override`` replaces the signature stage (``pages`` may
-    then be None), ``skip_pairs_both_in`` (sorted int64 node ids) drops
-    candidate pairs whose BOTH endpoints are listed before any blob is
-    attached or scored, ``extra_edges`` unions a pre-existing edge
-    set (prior-component star edges) into the CC input, and
+    then be None), ``skip_pairs_both_in`` (sorted int64 node ids, or a
+    node_id Dataset for the join-membership regime) drops candidate
+    pairs whose BOTH endpoints are listed before any blob is attached
+    or scored, ``extra_edges`` unions a pre-existing edge set
+    (prior-component star edges) into the CC input, and
     ``candidate_state_dir`` (requires ``skip_pairs_both_in``) switches
     the three explode branches to NEW-doc rows only, concatenating the
     prior corpus's persisted explode partitions map-side inside each
     pid task (incremental v2; pipelines/incremental.py).
+
+    Checkpointing WITH hooks (fold checkpoint/resume, VERDICT r4 next
+    #4): the default ``_input_fingerprint(pages)`` has no meaning for a
+    composed signature input, so hook callers that also set
+    ``cfg.checkpoint_dir`` MUST pass ``input_fingerprint_override`` —
+    a fingerprint of the fold identity (prior state files, increment
+    files, config hash; see incremental._fold_fingerprint).  A killed
+    fold then resumes from the last committed stage (verify_sigs /
+    verified / edges / labels) with byte-identical labels
+    (tests/test_resume.py::test_fold_resume_reproduces_labels).
     """
     import time as _time
 
@@ -149,12 +169,17 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
         cfg = _dc_replace(cfg, use_scorer_edges=use_scorer_edges)
     if (signatures_override is not None or skip_pairs_both_in is not None
             or extra_edges is not None):
-        assert cfg.checkpoint_dir is None, \
-            "incremental hooks run un-checkpointed (v1)"
+        assert (cfg.checkpoint_dir is None
+                or input_fingerprint_override), \
+            "incremental hooks need input_fingerprint_override to " \
+            "checkpoint (the stage-lineage fingerprint has no meaning " \
+            "for a composed input; run_dedup_incremental provides one)"
     ckpt = CheckpointManager(
         cfg.checkpoint_dir, cfg.config_hash(),
-        input_fingerprint=(_input_fingerprint(pages)
-                           if pages is not None else "signatures-override"))
+        input_fingerprint=(
+            input_fingerprint_override
+            or (_input_fingerprint(pages)
+                if pages is not None else "signatures-override")))
     _t = _time.perf_counter()
 
     def _mark(name: str) -> None:
@@ -184,19 +209,61 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
          "minhash", "simhash", "winnow"])
 
     _old_ref = None
-    _keep_new_nodes = None
+    _prior_ids_ds = None
+    membership_mode = None
     state_new_reps = None
     if skip_pairs_both_in is not None:
         import ray as _ray
 
-        _old_ref = _ray.put(np.ascontiguousarray(
-            np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
+        # membership dispatch (VERDICT r4 missing #4): an ndarray input
+        # — or a node-id DATASET small enough to collect — becomes the
+        # ray.put sorted-probe (one searchsorted per batch, array ships
+        # once per node).  A Dataset larger than the broadcast budget
+        # (the 10^12-prior-doc regime: ~8 TB of ids) switches every
+        # membership use to hash-partitioned semi/anti joins on node_id
+        # — no O(prior) driver or per-node artifact anywhere.  Paths
+        # are byte-identical (forced-path gate,
+        # tests/test_incremental.py).
+        if hasattr(skip_pairs_both_in, "join"):  # Ray Dataset of node_id
+            n_prior = skip_pairs_both_in.count()
+            if n_prior <= cfg.membership_broadcast_max_nodes:
+                parts = [b["node_id"].to_numpy(zero_copy_only=False)
+                         for b in skip_pairs_both_in.select_columns(
+                             ["node_id"]).iter_batches(
+                             batch_format="pyarrow", batch_size=None)]
+                arr = (np.concatenate(parts) if parts
+                       else np.empty(0, np.int64))
+                _old_ref = _ray.put(np.ascontiguousarray(
+                    np.sort(arr.astype(np.int64, copy=False))))
+                membership_mode = "probe"
+            else:
+                _prior_ids_ds = skip_pairs_both_in.select_columns(
+                    ["node_id"]).materialize()
+                membership_mode = "join"
+        else:
+            _old_ref = _ray.put(np.ascontiguousarray(
+                np.sort(np.asarray(skip_pairs_both_in, dtype=np.int64))))
+            membership_mode = "probe"
+        ckpt.counters["membership_mode"] = membership_mode
 
-        def _keep_new_nodes(b: pa.Table) -> pa.Table:
+    def _filter_new(ds):
+        """Rows of ``ds`` (node_id column) that are NOT prior docs."""
+        if membership_mode == "join":
+            # groupby-based anti join (_semi_join_ids): the filtered
+            # tables carry minhash/winnow list<> columns, which Acero
+            # hash joins reject as non-key fields
+            return _semi_join_ids(ds, _prior_ids_ds, cfg,
+                                  keep_matches=False)
+
+        def f(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
             old = _ray.get(_old_ref)
             keep = ~_in_sorted(old, b["node_id"].to_numpy(
                 zero_copy_only=False))
             return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+        return ds.map_batches(f, batch_format="pyarrow")
 
     # incremental v4: with a persisted exact-group index in the state,
     # the exact shuffle carries only the increment's slim rows — prior
@@ -207,12 +274,11 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
     # built before the index existed fall back to the union shuffle.
     import os as _os
     use_exact_state = (
-        candidate_state_dir is not None and _old_ref is not None
+        candidate_state_dir is not None and membership_mode is not None
         and _os.path.isdir(_os.path.join(candidate_state_dir, "exact")))
     ckpt.counters["exact_path"] = ("state" if use_exact_state else "union")
     if use_exact_state:
-        slim_exact = slim.map_batches(_keep_new_nodes,
-                                      batch_format="pyarrow")
+        slim_exact = _filter_new(slim)
         exact_fn = cand.make_stateful_exact_fn(
             candidate_state_dir, prune=cfg.incremental_prune_state)
     else:
@@ -256,13 +322,12 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
         # n_shingles == 0 already excludes them, this keeps the
         # invariant explicit and covers blob-bearing prior reps when
         # falling back to the union exact shuffle)
-        assert _old_ref is not None, \
+        assert membership_mode is not None, \
             "candidate_state_dir requires skip_pairs_both_in"
 
         # materialized: ∝ increment, feeds the three explode branches
         # AND append_fold_state (the O(increment) state roll-forward)
-        sig_reps = sig_reps.map_batches(_keep_new_nodes,
-                                        batch_format="pyarrow").materialize()
+        sig_reps = _filter_new(sig_reps).materialize()
         state_new_reps = sig_reps
     band_explode = cand.BandExploder(cfg, with_url=False)
     sim_explode = cand.SimhashChunkExploder(cfg, with_url=False)
@@ -323,7 +388,7 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
 
     raw_cands = minhash_cands.union(simhash_cands).union(winnow_cands)
 
-    if _old_ref is not None:
+    if membership_mode == "probe":
         # incremental regime: pairs internal to the PRIOR corpus are
         # already encoded by its component structure (extra_edges) —
         # drop them BEFORE any shingle blob is attached or any scorer
@@ -342,7 +407,40 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
             return b if bool(keep.all()) else b.filter(pa.array(keep))
 
         raw_cands = raw_cands.map_batches(_drop_both_prior,
-                                          batch_format="pyarrow").materialize()
+                                          batch_format="pyarrow")
+    elif membership_mode == "join":
+        # join regime (prior corpus above the membership broadcast
+        # budget): keep a pair iff >= 1 endpoint is NOT prior.  Three
+        # slim-int64 semi/anti joins whose union is exactly that set,
+        # disjointly: (a ∉ prior) ∪ (a ∈ prior ∧ b ∉ prior) — no
+        # marker-column bookkeeping, left rows pass through unchanged.
+        a_new = raw_cands.join(
+            _prior_ids_ds, join_type="left_anti",
+            num_partitions=cfg.num_partitions,
+            on=("node_a",), right_on=("node_id",))
+        a_old = raw_cands.join(
+            _prior_ids_ds, join_type="left_semi",
+            num_partitions=cfg.num_partitions,
+            on=("node_a",), right_on=("node_id",))
+        b_new = a_old.join(
+            _prior_ids_ds, join_type="left_anti",
+            num_partitions=cfg.num_partitions,
+            on=("node_b",), right_on=("node_id",))
+        raw_cands = a_new.union(b_new)
+
+    # deferred materialization: in the fold regime the filtered pair
+    # set is shared by the verify builder AND the touched-node prune,
+    # so the first CONSUMER materializes it — never eager DAG-definition
+    # time.  This is what lets a checkpointed fold resume skip the
+    # candidate shuffles entirely: when verify_sigs/verified/edges/
+    # labels all load from checkpoints, get_raw_cands() is never called.
+    _rc_cache = []
+
+    def get_raw_cands():
+        if not _rc_cache:
+            _rc_cache.append(raw_cands.materialize()
+                             if membership_mode is not None else raw_cands)
+        return _rc_cache[0]
 
     # fold regime: every surviving pair touches >= 1 new doc, so the
     # node set appearing in pairs is ∝ increment — prune the signature
@@ -356,20 +454,45 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
     # increment-scale pair rows — bounded like skip_pairs_both_in; at
     # corpus scales beyond driver heap this becomes a semi-join on
     # node_id, same trade documented for the membership array).
-    verify_sigs = signatures
-    if _old_ref is not None:
-        touched = _collect_pair_nodes(raw_cands)
-        ckpt.counters["n_touched_nodes"] = int(touched.size)
-        _touched_ref = _ray.put(touched)
+    if membership_mode is None:
+        verify_sigs = signatures
+    else:
+        def build_verify_sigs():
+            if membership_mode == "probe":
+                touched = _collect_pair_nodes(get_raw_cands())
+                ckpt.counters["n_touched_nodes"] = int(touched.size)
+                _touched_ref = _ray.put(touched)
 
-        def _keep_touched(b: pa.Table) -> pa.Table:
-            t = _ray.get(_touched_ref)
-            keep = _in_sorted(t, b["node_id"].to_numpy(
-                zero_copy_only=False))
-            return b if bool(keep.all()) else b.filter(pa.array(keep))
+                def _keep_touched(b: pa.Table) -> pa.Table:
+                    t = _ray.get(_touched_ref)
+                    keep = _in_sorted(t, b["node_id"].to_numpy(
+                        zero_copy_only=False))
+                    return (b if bool(keep.all())
+                            else b.filter(pa.array(keep)))
 
-        verify_sigs = signatures.map_batches(
-            _keep_touched, batch_format="pyarrow").materialize()
+                return signatures.map_batches(
+                    _keep_touched, batch_format="pyarrow")
+
+            # distributed twin of the touched-node prune: distinct pair
+            # endpoints (slim int64 groupby, ∝ increment since every
+            # surviving pair touches >= 1 new doc) semi-join the
+            # signature table — no driver collection of the touched set
+            def _endpoints(b: pa.Table) -> pa.Table:
+                na = b["node_a"].to_numpy(zero_copy_only=False)
+                nb_ = b["node_b"].to_numpy(zero_copy_only=False)
+                return pa.table({"node_id": pa.array(
+                    np.unique(np.concatenate([na, nb_])))})
+
+            touched_ds = (get_raw_cands()
+                          .map_batches(_endpoints, batch_format="pyarrow")
+                          .groupby("node_id").count()
+                          .select_columns(["node_id"]))
+            return _semi_join_ids(signatures, touched_ds, cfg,
+                                  keep_matches=True)
+
+        verify_sigs = ckpt.stage("verify_sigs", build_verify_sigs)
+        if cfg.checkpoint_dir is None:
+            verify_sigs = verify_sigs.materialize()
 
     # --- exact-Jaccard verification (join strategy per cfg) --------------
     def build_verified():
@@ -389,7 +512,7 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
         ckpt.counters["verify_strategy"] = strategy
         if strategy == "broadcast":
             return verify_pairs_broadcast(
-                raw_cands, verify_sigs, cfg,
+                get_raw_cands(), verify_sigs, cfg,
                 keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
                 dedup_winnow_min_hits=cfg.winnow_min_hits,
                 dedup_winnow_est_min=cfg.winnow_est_min)
@@ -399,11 +522,11 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
             # pair-pid sort over the pre-dedup pair set (the flagship's
             # largest intermediate) disappears from the DAG
             return verify_pairs_reduce(
-                raw_cands, verify_sigs, cfg,
+                get_raw_cands(), verify_sigs, cfg,
                 keep_lo=cfg.borderline_jaccard, keep_hi=cfg.dup_jaccard,
                 dedup_winnow_min_hits=cfg.winnow_min_hits,
                 dedup_winnow_est_min=cfg.winnow_est_min)
-        all_cands = (raw_cands
+        all_cands = (get_raw_cands()
             .groupby("pid")
             .map_groups(cand.make_dedup_pairs_partition_fn(
                 winnow_min_hits=cfg.winnow_min_hits,
@@ -491,6 +614,13 @@ def _run_dedup_inner(pages, cfg: PipelineConfig | None = None,
         return relabeled.union(singles)
 
     labels = ckpt.stage("labels", build_labels)
+    if cfg.checkpoint_dir is None:
+        # materialize INSIDE the reservation scope: labels in the
+        # distributed-CC regime are a full-corpus left-outer join +
+        # relabel groupby — deferring them to caller consumption would
+        # run those all-to-alls under the caller's allocator context,
+        # silently outside the livelock fix (ADVICE r4)
+        labels = labels.materialize()
     _mark("components")
 
     ckpt.write_counters()
@@ -540,6 +670,53 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     idx = np.clip(np.searchsorted(sorted_arr, vals), 0,
                   sorted_arr.size - 1)
     return sorted_arr[idx] == vals
+
+
+def _semi_join_ids(ds, ids_ds, cfg, keep_matches: bool):
+    """Distributed semi (``keep_matches``) / anti join of ``ds`` on
+    ``node_id`` against an id-only Dataset, for tables whose payload
+    includes list<> columns — Acero hash joins reject those as non-key
+    fields, so this runs the engine's own pattern instead: both sides
+    tag pid(node_id), union under an aligned schema (probe rows carry
+    nulls for the payload columns), and ONE sort-shuffle groupby
+    co-locates each id bucket with its rows; the filter is a per-group
+    sorted-probe.  Used by the join-membership regime (prior corpus
+    above ``membership_broadcast_max_nodes``) where nothing O(prior)
+    may land on the driver or a single worker."""
+    from eridu_ray.stages import candidates as cand
+
+    base = ds.schema().base_schema
+    flag = "__is_probe"
+
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            flag, pa.array(np.zeros(b.num_rows, np.bool_)))
+
+    def expand(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in base:
+            cols[f.name] = (pc.cast(b["node_id"], f.type)
+                            if f.name == "node_id"
+                            else pa.nulls(b.num_rows, f.type))
+        return pa.table(cols).append_column(
+            flag, pa.array(np.ones(b.num_rows, np.bool_)))
+
+    both = ds.map_batches(mark, batch_format="pyarrow").union(
+        ids_ds.map_batches(expand, batch_format="pyarrow"))
+
+    def filt(g: pa.Table) -> pa.Table:
+        isp = g[flag].to_numpy(zero_copy_only=False)
+        probe = np.sort(g["node_id"].to_numpy(
+            zero_copy_only=False)[isp])
+        rows = g.filter(pa.array(~isp))
+        hit = _in_sorted(probe, rows["node_id"].to_numpy(
+            zero_copy_only=False))
+        keep = hit if keep_matches else ~hit
+        return rows.filter(pa.array(keep)).drop_columns([flag, "pid"])
+
+    return (cand.add_pid(both, "node_id", cfg.bucket_partitions)
+            .groupby("pid")
+            .map_groups(filt, batch_format="pyarrow"))
 
 
 def _exact_edge_batch(batch: pa.Table) -> pa.Table:

@@ -69,14 +69,29 @@ poisons a state left by an interrupted append).  A fold chain rolled
 forward with appends reproduces from-scratch labels byte-identically
 (tests/test_incremental.py).
 
-Remaining trades (both modes): (a) the prior node-id membership array
-is 8 B/doc ray.put once per node — 8 GB per 10⁹ prior docs; beyond
-per-node heap the filter becomes a partitioned anti-join on
-(node_a, node_b) instead.  (b) folds run un-checkpointed (the
-stage-lineage fingerprint has no meaning for a composed signature
-input).  (c) appended delta files accumulate one file set per fold;
-rebuild occasionally (CLI ``fold --state-update-mode rebuild``) to
-compact.
+Membership at scale: the prior node-id membership is scale-dispatched
+on ``cfg.membership_broadcast_max_nodes`` — below it (8 B/doc, e.g.
+1.6 GB at 200M priors) the sorted array ships ONCE per node via
+ray.put and every membership check is a searchsorted; above it (the
+10^12-prior regime, where the array would be ~8 TB) ``run_dedup``
+receives the node-id DATASET and runs hash-partitioned semi/anti
+joins instead (pair drop, new-row filter, touched-node prune), and
+the url-clash check runs as a broadcast-filtered scan — nothing
+O(prior) lands on the driver or any single worker.  Both paths are
+byte-identical (forced-path gate in tests/test_incremental.py).
+
+Fold checkpoint/resume: with ``cfg.checkpoint_dir`` set, a fold
+commits its stages (fold_new_sigs / exact_tagged / verify_sigs /
+verified / edges / labels) under a FOLD-IDENTITY fingerprint
+(:func:`_fold_fingerprint`: prior state files + increment files +
+persisted-state inventory + config hash) — a killed fold resumes from
+the last committed stage with byte-identical labels
+(tests/test_resume.py::test_fold_resume_reproduces_labels), and a
+changed increment / appended state invalidates every stage checkpoint.
+
+Remaining trade (both modes): appended delta files accumulate one
+file set per fold; rebuild occasionally (CLI ``fold
+--state-update-mode rebuild``) to compact.
 
 New-batch urls must be disjoint from the prior corpus (node ids are
 stable url hashes; a re-crawled url should be dropped or versioned
@@ -462,6 +477,43 @@ def load_fold_state(state_dir: str, cfg: PipelineConfig) -> DedupResult:
         labels=rd.read_parquet(f"{state_dir}/labels"))
 
 
+def _fold_fingerprint(new_pages, prior: DedupResult,
+                      state_dir: str | None,
+                      cfg: PipelineConfig) -> str:
+    """Identity of a FOLD for checkpoint validity: the composed input
+    has no single source-file list, so the fingerprint covers every
+    ingredient that determines the fold's results — prior signature /
+    label files, increment files, the persisted-state file inventory
+    (an append between attempts must invalidate), and the semantic
+    config hash.  In-memory inputs contribute empty file lists (same
+    degradation as run_dedup's plain-input fingerprint: config hash
+    alone then guards)."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    def files_of(ds):
+        try:
+            return sorted(ds.input_files())
+        except Exception:
+            return []
+
+    parts = {
+        "config": cfg.config_hash(),
+        "prior_sigs": files_of(prior.signatures),
+        "prior_labels": files_of(prior.labels),
+        "new": files_of(new_pages),
+        "state": sorted(
+            (os.path.relpath(p, state_dir), os.path.getsize(p))
+            for p in glob.glob(os.path.join(state_dir, "**", "*"),
+                               recursive=True)
+            if os.path.isfile(p)) if state_dir else [],
+    }
+    return "fold-" + hashlib.sha256(
+        json.dumps(parts, sort_keys=True).encode()).hexdigest()[:16]
+
+
 def run_dedup_incremental(new_pages, prior: DedupResult,
                           cfg: PipelineConfig | None = None,
                           state_dir: str | None = None) -> DedupResult:
@@ -482,32 +534,79 @@ def run_dedup_incremental(new_pages, prior: DedupResult,
     the exact star edge, so the component partition — and therefore the
     labels — stay byte-identical (gated in tests).
     """
+    import ray
+
+    from eridu_ray.pipelines.dedup import _in_sorted
+
     cfg = cfg or PipelineConfig()
-    assert cfg.checkpoint_dir is None, \
-        "incremental runs un-checkpointed (see module docstring)"
     if state_dir is not None:
         _validate_state(state_dir, cfg)
-    new_sigs = compute_signatures(new_pages, cfg).materialize()
-    prior_ids = _collect_node_ids(prior.signatures)
-    new_ids = _collect_node_ids(new_sigs)
-    # enforce the documented contract instead of silently emitting two
-    # label rows per re-crawled url: node ids are stable url hashes, so
-    # one searchsorted over the (already-collected) prior ids finds any
-    # collision
-    clash = np.intersect1d(new_ids, prior_ids, assume_unique=False)
-    if clash.size:
-        raise ValueError(
-            f"{clash.size} new-batch url(s) already exist in the prior "
-            "corpus (first colliding node ids: "
-            f"{clash[:5].tolist()}) — re-crawled urls must be dropped "
-            "or versioned upstream (module docstring)")
+    fold_fp = None
+    if cfg.checkpoint_dir is not None:
+        # fold checkpoint/resume (VERDICT r4 next #4): the fold identity
+        # fingerprint validates every stage checkpoint; the increment's
+        # signatures get their own stage so a resumed fold skips the
+        # signature compute too
+        from eridu_ray.state.checkpoint import CheckpointManager
+
+        fold_fp = _fold_fingerprint(new_pages, prior, state_dir, cfg)
+        fold_ckpt = CheckpointManager(cfg.checkpoint_dir,
+                                      cfg.config_hash(),
+                                      input_fingerprint=fold_fp)
+        new_sigs = fold_ckpt.stage(
+            "fold_new_sigs", lambda: compute_signatures(new_pages, cfg),
+            lineage={"input": "fold increment"})
+    else:
+        new_sigs = compute_signatures(new_pages, cfg).materialize()
+    new_ids = _collect_node_ids(new_sigs)  # ∝ increment, always small
+    n_prior = prior.signatures.count()
+    if n_prior <= cfg.membership_broadcast_max_nodes:
+        prior_ids = _collect_node_ids(prior.signatures)
+        # enforce the documented contract instead of silently emitting
+        # two label rows per re-crawled url: node ids are stable url
+        # hashes, so one searchsorted over the (already-collected)
+        # prior ids finds any collision
+        clash = np.intersect1d(new_ids, prior_ids, assume_unique=False)
+        if clash.size:
+            raise ValueError(
+                f"{clash.size} new-batch url(s) already exist in the "
+                "prior corpus (first colliding node ids: "
+                f"{clash[:5].tolist()}) — re-crawled urls must be "
+                "dropped or versioned upstream (module docstring)")
+        membership = prior_ids
+    else:
+        # prior corpus above the membership broadcast budget: hand the
+        # node-id DATASET to run_dedup (which runs the semi/anti-join
+        # membership paths) and run the clash check distributed — the
+        # NEW ids (∝ increment) broadcast once, one filtered scan over
+        # the prior ids, nothing O(prior) on the driver
+        membership = prior.signatures.select_columns(["node_id"])
+        new_ref = ray.put(np.sort(new_ids))
+
+        def _in_new(b: pa.Table) -> pa.Table:
+            nn = ray.get(new_ref)
+            keep = _in_sorted(nn, b["node_id"].to_numpy(
+                zero_copy_only=False))
+            return b if bool(keep.all()) else b.filter(pa.array(keep))
+
+        clash_ds = membership.map_batches(
+            _in_new, batch_format="pyarrow").materialize()
+        n_clash = clash_ds.count()
+        if n_clash:
+            first = [r["node_id"] for r in clash_ds.take(5)]
+            raise ValueError(
+                f"{n_clash} new-batch url(s) already exist in the "
+                f"prior corpus (first colliding node ids: {first}) — "
+                "re-crawled urls must be dropped or versioned upstream "
+                "(module docstring)")
     all_sigs = prior.signatures.union(new_sigs).materialize()
     res = run_dedup(
         None, cfg,
         signatures_override=all_sigs,
-        skip_pairs_both_in=prior_ids,
+        skip_pairs_both_in=membership,
         extra_edges=prior_star_edges(prior.labels, cfg),
-        candidate_state_dir=state_dir)
+        candidate_state_dir=state_dir,
+        input_fingerprint_override=fold_fp)
     # fold-only handle for append_fold_state: the increment's own
     # signature rows (∝ increment; already materialized above)
     res.new_signatures = new_sigs

@@ -31,6 +31,9 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+from eridu_ray.kernels.numeric import round_half_away as _round_half_away
+
+
 # --- filters / projections (M1-M5, M15) -----------------------------------
 
 def q_filter_conj_disj(sf_dir):
@@ -72,7 +75,7 @@ def q_project_compute_cast(sf_dir):
     ds = _rp(sf_dir, "events", ["event_id", "value"])
 
     def f(b: pa.Table) -> pa.Table:
-        taxed = np.rint(
+        taxed = _round_half_away(
             b["value"].to_numpy(zero_copy_only=False) * 1100
         ).astype(np.int64)
         lab = pc.cast(pc.greater_equal(b["value"], 100.0), pa.float64())
@@ -123,13 +126,13 @@ def q_grouped_multi_agg(sf_dir):
               "l_extendedprice", "l_discount"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        price = np.rint(
+        price = _round_half_away(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        disc = np.rint(
+        disc = _round_half_away(
             b["l_discount"].to_numpy(zero_copy_only=False) * 10000
         ).astype(np.int64)
-        qty = np.rint(
+        qty = _round_half_away(
             b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
         return pa.table({"l_returnflag": b["l_returnflag"],
                          "l_linestatus": b["l_linestatus"],
@@ -164,7 +167,7 @@ def q_score_stats(sf_dir):
     ds = _rp(sf_dir, "events", ["event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
-        cents = np.rint(
+        cents = _round_half_away(
             b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table({"event_type": b["event_type"], "value": b["value"],
                          "cents": pa.array(cents),
@@ -360,7 +363,7 @@ def q_semi_anti_join(sf_dir):
     driver's hash.  ``q_semi_join``/``q_anti_join`` stay importable
     and individually tested."""
     def tag_semi(b: pa.Table) -> pa.Table:
-        cents = np.rint(
+        cents = _round_half_away(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         return pa.table({
@@ -405,7 +408,7 @@ def q_join_agg(sf_dir):
 
     def add_nation(b: pa.Table) -> pa.Table:
         nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
-        cents = np.rint(
+        cents = _round_half_away(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         return pa.table({"n_name": names.take(pa.array(lut[nk])),
@@ -428,7 +431,7 @@ def q_window_hourly(sf_dir):
 
     def trunc(b: pa.Table) -> pa.Table:
         win = pc.floor_temporal(b["ts"], unit="hour")
-        cents = np.rint(
+        cents = _round_half_away(
             b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table({"event_type": b["event_type"], "win": win,
                          "cents": pa.array(cents)})
@@ -627,10 +630,10 @@ def _trimmed_partition(g: pa.Table) -> pa.Table:
         hi = vals[np.searchsorted(
             cum, min(max(math.ceil(0.95 * total), 1), total))]
         keep = (vals >= lo) & (vals <= hi)
-        cents = np.rint(vals[keep] * 100).astype(np.int64)
+        cents = _round_half_away(vals[keep] * 100).astype(np.int64)
         out["et"].append(et)
-        out["lo"].append(int(np.rint(lo * 100)))
-        out["hi"].append(int(np.rint(hi * 100)))
+        out["lo"].append(int(_round_half_away(lo * 100)))
+        out["hi"].append(int(_round_half_away(hi * 100)))
         out["nk"].append(int(cnt[keep].sum()))
         out["sc"].append(int((cents * cnt[keep]).sum()))
     return pa.table({"event_type": pa.array(out["et"], pa.string()),
@@ -641,7 +644,18 @@ def _trimmed_partition(g: pa.Table) -> pa.Table:
 
 
 def q_lang_id(sf_dir):
-    """Language-ID heuristic (rows-only check; not SQL-expressible)."""
+    """Language-ID heuristic, oracle-paired (VERDICT r4 next #5): the
+    kernel (kernels/text.detect_language — script ranges by integer
+    threshold, then stopword-hit argmax with first-in-order tie-break)
+    has an exact DuckDB twin in ``ORACLE_SQL["lang_id"]``.
+
+    Equivalence contract: thresholds are integer-exact (han*20 > n,
+    cyr*4 > n); stopword scores share the denominator so hit-count
+    comparisons replace float ratios; Python's ``[^\\W\\d_]+`` word
+    regex is mirrored by RE2 ``\\pL+`` — equivalent on every script in
+    the corpus (Latin/Cyrillic/Han; they differ only on Nl/No numerics
+    like 'Ⅻ'/'²', which Python counts as word chars — conformance test
+    in tests/test_textstats.py pins the charset assumption)."""
     from eridu_ray.kernels.text import detect_language
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -730,7 +744,7 @@ def q_embedding_neardup(sf_dir):
     return neardup_pairs(emb, thresh=0.45, n_centroids=8)
 
 
-def q_semantic_dedup(sf_dir):
+def q_semantic_dedup(sf_dir, broadcast_max_nodes: int | None = None):
     """SemDeDup-style semantic dedup over the embeddings table: exact
     cosine near-dup pairs (stages/ann.neardup_pairs, IVF-cell
     cohabitation) -> connected components -> keep the min vec_id per
@@ -740,20 +754,52 @@ def q_semantic_dedup(sf_dir):
     driver pair enumeration), CC is scale-dispatched
     (stages/components.connected_components_auto — driver union-find
     below cc_driver_max_edges, distributed label propagation above),
-    and the final labeling is one broadcast lookup over a table
-    bounded by the TRUE near-dup count (the same bounded-artifact
-    trade as the flagship's driver-CC path); vectors absent from any
-    pair are singletons (rep = self)."""
+    and the final labeling is scale-dispatched too (VERDICT r4 §wrong
+    #1): BELOW ``broadcast_max_nodes`` clustered labels the (node,
+    label) table ships once via ray.put and assignment is one
+    broadcast-lookup map; ABOVE it — semantic dup rates on web corpora
+    run 30-50%, so at 10^12 vectors the label table is O(corpus) and
+    must never be driver-collected — assignment is a distributed
+    left-outer ``join`` on vec_id, mirroring the flagship's
+    distributed-CC labeling (pipelines/dedup.py build_labels).  Both
+    paths are byte-identical (forced-path test in
+    tests/test_relational_oracle.py); vectors absent from any pair are
+    singletons (rep = self)."""
     import ray
 
     from eridu_ray.config import PipelineConfig
     from eridu_ray.stages.ann import neardup_pairs
     from eridu_ray.stages.components import connected_components_auto
 
+    cfg = PipelineConfig()
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = cfg.cc_driver_max_edges
+
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     edges = neardup_pairs(emb, thresh=0.45, n_centroids=8) \
         .rename_columns({"vec_id_a": "node_a", "vec_id_b": "node_b"})
-    labels = connected_components_auto(edges, PipelineConfig())
+    labels = connected_components_auto(edges, cfg).materialize()
+
+    if labels.count() > broadcast_max_nodes:
+        # distributed path: one hash-partitioned left-outer join; null
+        # label = unclustered singleton (rep = self)
+        # 8 partitions like the other relational joins (join aggregator
+        # actors reserve a CPU each; widths above CPUS/2 starve the
+        # upstream maps — bench.py header note)
+        joined = emb.select_columns(["vec_id"]).join(
+            labels, join_type="left_outer", num_partitions=8,
+            on=("vec_id",), right_on=("node",))
+
+        def fill(b: pa.Table) -> pa.Table:
+            v = b["vec_id"].to_numpy(zero_copy_only=False)
+            lab = b["label"].to_numpy(zero_copy_only=False)
+            rep = np.where(pc.is_valid(b["label"]).to_numpy(
+                zero_copy_only=False), lab, v).astype(np.int64)
+            return pa.table({"vec_id": pa.array(v),
+                             "rep_id": pa.array(rep),
+                             "keep": pa.array(rep == v)})
+
+        return joined.map_batches(fill, batch_format="pyarrow")
 
     node_parts, lab_parts = [], []
     for b in labels.iter_batches(batch_format="pyarrow",
@@ -987,7 +1033,36 @@ ORACLE_SQL: dict[str, str] = {
         "FROM events e JOIN b USING (event_type) "
         "WHERE e.value >= lo AND e.value <= hi "
         "GROUP BY e.event_type, lo, hi"),
-    # lang_id: rows-only (heuristic, not SQL-expressible)
+    "lang_id": (
+        r"WITH s AS ("
+        r"SELECT doc_id, substring(text, 1, 2000) AS sample "
+        r"FROM documents), "
+        r"c AS (SELECT doc_id, sample, length(sample) AS n, "
+        r"length(regexp_replace(sample, "
+        r"'[^\x{0400}-\x{04FF}]', '', 'g')) AS cyr, "
+        r"length(regexp_replace(sample, "
+        r"'[^\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS han, "
+        r"regexp_extract_all(lower(sample), '\pL+') AS words FROM s), "
+        r"h AS (SELECT doc_id, n, cyr, han, len(words) AS nw, "
+        r"len(list_filter(words, x -> list_contains("
+        r"['the','and','of','to','a','in','is','it','that','for'], x)"
+        r")) AS en, "
+        r"len(list_filter(words, x -> list_contains("
+        r"['der','die','das','und','ist','nicht','ein','mit','zu','für'"
+        r"], x))) AS de, "
+        r"len(list_filter(words, x -> list_contains("
+        r"['el','la','de','que','y','en','un','una','es','los'], x)"
+        r")) AS es, "
+        r"len(list_filter(words, x -> list_contains("
+        r"['le','la','les','de','et','un','une','est','que','pour'], x)"
+        r")) AS fr FROM c) "
+        r"SELECT doc_id, CASE WHEN n = 0 THEN 'und' "
+        r"WHEN han * 20 > n THEN 'zh' "
+        r"WHEN cyr * 4 > n THEN 'ru' "
+        r"WHEN nw = 0 OR greatest(en, de, es, fr) = 0 THEN 'und' "
+        r"WHEN en >= de AND en >= es AND en >= fr THEN 'en' "
+        r"WHEN de >= es AND de >= fr THEN 'de' "
+        r"WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM h"),
     "embedding_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
         "FROM embeddings WHERE vec_id < 5), "

@@ -105,10 +105,16 @@ def q_bm25_topk(sf_dir: str, k: int = TOPK, terms=QUERY_TERMS):
              else stat_schema.empty_table())
     n = float(pc.sum(parts["n_docs"]).as_py() or 0)
     if n == 0:
-        # empty corpus: return the Arrow table directly — a 0-row Ray
-        # Dataset drops its column schema through to_pandas()
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "score_micro": pa.array([], pa.int64())})
+        # empty corpus: a schema-stable 0-row DATASET (ADVICE r4) — the
+        # CLI search path calls .take_all(), which a bare pa.Table lacks.
+        # take_all()/schema() preserve the columns; only .to_pandas()
+        # drops them on 0 rows (Ray 2.49 quirk, verified), and no caller
+        # of the empty branch goes through to_pandas.
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_micro": pa.array([], pa.int64())}))
     sum_dl = float(pc.sum(parts["sum_dl"]).as_py())
     avgdl = sum_dl / n
     idfs = []

@@ -171,26 +171,51 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
     if n_nodes is not None and total_bytes <= cfg.verify_broadcast_max_bytes:
         import ray
 
-        ids_parts, txt_parts = [], []
+        # zero-copy-friendly broadcast layout (ADVICE r4): a pickled
+        # list-of-str deserializes a FULL private copy into every worker
+        # process on ray.get (multiplying resident memory by worker
+        # count near the budget).  Numpy buffers instead are plasma-
+        # backed read-only views shared by every worker on the node —
+        # one concatenated UTF-8 blob + int64 offsets, decoded per
+        # LOOKED-UP pair only, so the per-worker private footprint is
+        # O(batch texts), not O(corpus).
+        ids_parts, txt_chunks = [], []
         for b in texts.iter_batches(batch_format="pyarrow",
                                     batch_size=None):
             ids_parts.append(b["node_id"].to_numpy(zero_copy_only=False))
-            txt_parts.extend(b["text"].to_pylist())
+            txt_chunks.append(b["text"])
         ids = (np.concatenate(ids_parts) if ids_parts
                else np.array([], np.int64))
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        txts = [txt_parts[i] for i in order]
-        ref = ray.put((ids, txts))
+        if txt_chunks:
+            # large_string: int64 offsets — the 4 GiB budget exceeds
+            # 32-bit string-offset range.  take() materializes fresh
+            # contiguous buffers, so the Arrow offsets/data buffers ARE
+            # the broadcast layout (no per-string re-encode).
+            txt = pc.cast(pa.chunked_array(txt_chunks),
+                          pa.large_string()).combine_chunks().take(
+                pa.array(order))
+            assert txt.offset == 0
+            offs = np.frombuffer(txt.buffers()[1], np.int64, len(txt) + 1)
+            data_buf = txt.buffers()[2]
+            blob = (np.frombuffer(data_buf, np.uint8, int(offs[-1]))
+                    if data_buf is not None else np.empty(0, np.uint8))
+        else:
+            offs = np.zeros(1, np.int64)
+            blob = np.empty(0, np.uint8)
+        ref = ray.put((ids, offs, blob))
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
-            ids_s, t_s = ray.get(ref)
+            ids_s, offs_s, blob_s = ray.get(ref)
             na = batch["node_a"].to_numpy(zero_copy_only=False)
             nb_ = batch["node_b"].to_numpy(zero_copy_only=False)
             ia = np.searchsorted(ids_s, na)
             ib = np.searchsorted(ids_s, nb_)
-            ta = [t_s[i] for i in ia]
-            tb = [t_s[i] for i in ib]
+            ta = [blob_s[offs_s[i]:offs_s[i + 1]].tobytes().decode("utf-8")
+                  for i in ia]
+            tb = [blob_s[offs_s[i]:offs_s[i + 1]].tobytes().decode("utf-8")
+                  for i in ib]
             return _verify_rows(
                 ta, tb,
                 [int(u) for u in batch["url_a"].to_pylist()],

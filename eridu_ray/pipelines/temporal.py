@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from eridu_ray.kernels.hashing import splitmix64
+from eridu_ray.kernels.numeric import round_half_away as _round_half_away
 
 _US = np.int64(1)                      # timestamps handled as int64 us
 MIN_15 = np.int64(15 * 60 * 1_000_000)
@@ -234,7 +235,7 @@ def q_session_windows(sf_dir, num_pid: int | None = None):
 
     def prep(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        cents = np.rint(b["value"].to_numpy(zero_copy_only=False)
+        cents = _round_half_away(b["value"].to_numpy(zero_copy_only=False)
                         * 100).astype(np.int64)
         return pa.table({"pid": _pid_of(uid, P),
                          "user_id": b["user_id"], "ts": b["ts"],
@@ -299,7 +300,7 @@ def q_sliding_window(sf_dir):
         b15 = (us // MIN_15) * MIN_15
         offs = (np.arange(n_off, dtype=np.int64) * MIN_15)[:, None]
         wins = (b15[None, :] - offs).reshape(-1)
-        cents = np.rint(b["value"].to_numpy(zero_copy_only=False)
+        cents = _round_half_away(b["value"].to_numpy(zero_copy_only=False)
                         * 100).astype(np.int64)
         types = pa.chunked_array([pc.cast(b["event_type"], pa.string())]
                                  * n_off).combine_chunks()

@@ -23,6 +23,8 @@ import os
 import pyarrow as pa
 import pyarrow.csv as pacsv
 
+from eridu_ray.kernels.numeric import round_half_away as _round_half_away
+
 
 def read_csv(path: str, gzipped: bool = False):
     """S8: distributed CSV reader (gzip-aware)."""
@@ -105,7 +107,7 @@ def q_gzcsv_to_parquet(sf_dir: str):
                               columns=["event_id", "event_type", "value"])
 
         def cents(b: pa.Table) -> pa.Table:
-            c = np.rint(b["value"].to_numpy(zero_copy_only=False) * 100
+            c = _round_half_away(b["value"].to_numpy(zero_copy_only=False) * 100
                         ).astype("int64")
             return pa.table({"event_id": b["event_id"],
                              "event_type": b["event_type"],

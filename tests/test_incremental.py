@@ -53,6 +53,42 @@ def test_incremental_labels_match_full_rerun(split_corpus):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_incremental_join_membership_matches_full_rerun(split_corpus):
+    """Forced join-membership path (membership_broadcast_max_nodes=0
+    pushes the prior corpus 'above budget'): the semi/anti-join
+    membership — pair drop, touched-node prune, distributed clash
+    check — must reproduce the from-scratch labels byte-identically
+    (VERDICT r4 missing #4 / next #3)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    cfg_j = dataclasses.replace(cfg, membership_broadcast_max_nodes=0)
+    full = run_dedup(rd.from_arrow(pages), cfg).labels.to_pandas()
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg_j)
+    res = run_dedup_incremental(rd.from_arrow(new_pages), prior, cfg_j)
+    assert res.counters.get("membership_mode") == "join"
+    inc = res.labels.to_pandas()
+    a = full.sort_values("url").reset_index(drop=True)
+    b = inc.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_join_membership_rejects_recrawled(split_corpus):
+    """The distributed clash check (join-membership regime) enforces
+    the disjoint-url contract exactly like the probe path."""
+    import dataclasses
+
+    import ray.data as rd
+
+    cfg, pages, prior_pages, new_pages = split_corpus
+    cfg_j = dataclasses.replace(cfg, membership_broadcast_max_nodes=0)
+    prior = run_dedup(rd.from_arrow(prior_pages), cfg_j)
+    with pytest.raises(ValueError, match="already exist in the prior"):
+        run_dedup_incremental(rd.from_arrow(prior_pages), prior, cfg_j)
+
+
 @pytest.mark.parametrize("prune", [True, False],
                          ids=["v3-pruned", "v2-full-read"])
 def test_incremental_state_path_matches_full_rerun(split_corpus,

@@ -146,6 +146,20 @@ def test_semantic_dedup_vs_brute():
     assert (~got.keep).sum() == len(vid) - len(set(want_rep.values()))
 
 
+def test_semantic_dedup_forced_join_path():
+    """The distributed labeling path (broadcast_max_nodes=0 forces the
+    left-outer join, VERDICT r4 §wrong #1) is byte-identical to the
+    default broadcast-lookup path — the same forced-path contract as
+    rarest_term's join fallback."""
+    from eridu_ray.pipelines.relational import q_semantic_dedup
+
+    want = q_semantic_dedup(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    got = q_semantic_dedup(SF, broadcast_max_nodes=0).to_pandas()
+    got = got[want.columns].sort_values("vec_id").reset_index(drop=True)
+    assert got.equals(want)
+
+
 def test_neardup_pairs_replication_prunes():
     """At a near-dup threshold the per-vector probe fan-out (the op's
     only source of extra work) is well below n_cells — the candidate
@@ -367,6 +381,47 @@ def test_lang_id_query_golden(tmp_path):
     got = q_lang_id(str(tmp_path)).to_pandas().set_index("doc_id")
     for doc_id, _, want in _LANG_GOLDEN:
         assert got.loc[doc_id, "lang_pred"] == want, doc_id
+
+
+def test_lang_id_oracle_adversarial(tmp_path):
+    """The DuckDB twin (ORACLE_SQL['lang_id'], VERDICT r4 next #5) must
+    agree with the kernel on boundary inputs the corpus never hits:
+    exact integer-threshold ties (han*20 == n, cyr*4 == n), stopword
+    argmax ties across languages (first-in-order wins), shared
+    stopwords ('la'/'de' live in several profiles), punctuation/digit-
+    only, the 2000-char sample cutoff, and empty text."""
+    import duckdb
+
+    from eridu_ray.kernels.text import detect_language
+    from eridu_ray.pipelines.relational import ORACLE_SQL, q_lang_id
+
+    texts = [
+        "",                       # empty -> und
+        "!!! ??? 123 456",        # no words -> und
+        "中a" + "b" * 18,          # 1 han of 20 chars: han*20 == n, NOT zh
+        "中中" + "c d e " * 3,      # 2 han of 17: zh
+        "жж" + "abcdef",          # 2 cyr of 8: cyr*4 == n, NOT ru
+        "жжж" + "abcde",          # 3 cyr of 8: ru
+        "the der",                # en=1, de=1 tie -> en (first in order)
+        "la la la",               # es=3, fr=3 tie -> es
+        "de de",                  # de/es/fr all hit -> de before es/fr
+        "und zu " * 3 + "que es", # mixed-profile scoring
+        "the " * 600 + "der " * 100,  # >2000 chars: cutoff changes hits
+        "Ж" * 5 + " " + "的" * 2 + " the and of",  # mixed scripts
+    ]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = dict(con.sql(ORACLE_SQL["lang_id"]).fetchall())
+    got = q_lang_id(str(tmp_path)).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        k = detect_language(t)
+        assert got.loc[i, "lang_pred"] == k, (i, t[:40])
+        assert want[i] == k, (i, t[:40], want[i], k)
 
 
 # --- salted hot buckets (pair-emitting ops) -------------------------------

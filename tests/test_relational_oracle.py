@@ -109,7 +109,7 @@ def test_rows_only_queries_run():
     test_pipeline/test_evaluate; ANN -> test_ops; multimodal decode ->
     test_ops).  The driver sweeps every entry at sf0.01 regardless."""
     qs = ENTRYMOD.queries()
-    for name in ("lang_id", "multimodal_decode", "checks_conformance"):
+    for name in ("multimodal_decode", "checks_conformance"):
         df = _to_pandas(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) > 0, name
     # the merged text-dedup entry must exercise all variant paths that

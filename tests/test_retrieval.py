@@ -90,9 +90,12 @@ def test_bm25_empty_corpus(tmp_path):
     d = tmp_path / "sf"
     d.mkdir()
     pq.write_table(tab, str(d / "documents.parquet"))
-    out = q_bm25_topk(str(d)).to_pandas()
-    assert list(out.columns) == ["doc_id", "score_micro"]
-    assert len(out) == 0
+    out = q_bm25_topk(str(d))
+    # a schema-stable 0-row DATASET (ADVICE r4): the CLI search command
+    # calls .take_all(), which a bare pyarrow Table lacks
+    assert hasattr(out, "take_all")
+    assert out.take_all() == []
+    assert out.schema().names == ["doc_id", "score_micro"]
 
 
 def test_bm25_absent_terms(tmp_path):
