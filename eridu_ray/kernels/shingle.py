@@ -290,3 +290,48 @@ def jaccard32(a: np.ndarray, b: np.ndarray) -> float:
         return 0.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (a.size + b.size - inter)
+
+
+# --- fixed-window rolling gram hashes (substring tier-0 gate) -------------
+
+_GRAM_B = 0x100000001B3          # FNV prime, odd -> invertible mod 2^64
+_GRAM_BINV = pow(_GRAM_B, -1, 1 << 64)
+
+
+def gram_hashes(text: str, w: int) -> np.ndarray:
+    """Rolling polynomial hash of EVERY w-character window of ``text``
+    (uint64, one per start position, unsorted).
+
+    Purpose: the substring family's tier-0 pair gate.  A true shared
+    span of >= w chars implies both docs contain an identical w-char
+    window, hence a common hash value — the gate never misses; a 2^-64
+    collision can only falsely CONFIRM, and confirmed pairs proceed to
+    the collision-free suffix-array tier.  Fully vectorized via the
+    prefix-sum closed form H[i] = (P[i+w] - P[i]) * B^(w-1+i) with
+    P[i] = sum_{t<i} c[t] * B^-t, all mod 2^64 (numpy uint64
+    wraparound); windows are CHARACTER-based (utf-32 code points) to
+    match the suffix-array tier's character offsets.
+    """
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+        np.uint64)
+    n = cp.size
+    if n < w:
+        return np.empty(0, np.uint64)
+    binv = np.uint64(_GRAM_BINV)
+    b = np.uint64(_GRAM_B)
+    powinv = np.empty(n, np.uint64)
+    powinv[0] = 1
+    if n > 1:
+        powinv[1:] = np.multiply.accumulate(
+            np.full(n - 1, binv, np.uint64))
+    pref = np.empty(n + 1, np.uint64)
+    pref[0] = 0
+    np.cumsum(cp * powinv, out=pref[1:])
+    diff = pref[w:] - pref[:n - w + 1]
+    m = n - w + 1
+    bp = np.empty(m, np.uint64)
+    bp[0] = np.uint64(pow(_GRAM_B, w - 1, 1 << 64))
+    if m > 1:
+        bp[1:] = bp[0] * np.multiply.accumulate(
+            np.full(m - 1, b, np.uint64))
+    return diff * bp

@@ -91,7 +91,11 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
     from eridu_ray.stages.verify import attach_texts, prune_to_pair_nodes
 
     cfg = cfg or _substring_cfg()
-    sigs = _signatures(sf_dir, cfg).materialize()
+    # winnow-only signatures: the family consumes node ids + text +
+    # winnow fps; the flagship's minhash/simhash/verify blobs are dead
+    # weight here (measured: the full re-sign dominated substring_cut's
+    # sf0.1 wall — VERDICT r4 next #6)
+    sigs = _signatures(sf_dir, cfg, winnow_only=True).materialize()
     pairs = _salted_candidate_pairs(
         sigs, cfg, cand.WinnowExploder(cfg), "fp_key", "winnow",
         est_min=None, winnow_min_hits=_span_guard_hits(cfg, min_span))
@@ -171,14 +175,26 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
     if n_nodes is not None and total_bytes <= cfg.verify_broadcast_max_bytes:
         import ray
 
+        from eridu_ray.kernels.shingle import gram_hashes
+
         # zero-copy-friendly broadcast layout (ADVICE r4): a pickled
         # list-of-str deserializes a FULL private copy into every worker
         # process on ray.get (multiplying resident memory by worker
         # count near the budget).  Numpy buffers instead are plasma-
         # backed read-only views shared by every worker on the node —
         # one concatenated UTF-8 blob + int64 offsets, decoded per
-        # LOOKED-UP pair only, so the per-worker private footprint is
+        # SURVIVING pair only, so the per-worker private footprint is
         # O(batch texts), not O(corpus).
+        #
+        # Tier-0 gram index (the r5 tier restructure): each doc's
+        # min_span-length rolling-hash set is computed ONCE here and
+        # shipped sorted — a true shared span >= min_span implies a
+        # common gram hash (never misses; collisions only falsely
+        # CONFIRM and die in the SA tier).  Docs average ~180 pairs
+        # each at sf0.1 (822k pairs over 4.6k pruned nodes), so the
+        # per-DOC precompute replaces 822k per-PAIR rolling-hash scans
+        # + 1.6M text decodes with one sorted-array intersection per
+        # pair (measured: the verify tail dropped ~7 s -> <1 s).
         ids_parts, txt_chunks = [], []
         for b in texts.iter_batches(batch_format="pyarrow",
                                     batch_size=None):
@@ -201,25 +217,46 @@ def substring_spans(sf_dir: str, cfg: PipelineConfig | None = None,
             data_buf = txt.buffers()[2]
             blob = (np.frombuffer(data_buf, np.uint8, int(offs[-1]))
                     if data_buf is not None else np.empty(0, np.uint8))
+            grams = [np.sort(gram_hashes(t, min_span))
+                     for t in txt.to_pylist()]
+            gsizes = np.array([g.size for g in grams], np.int64)
+            goffs = np.zeros(len(grams) + 1, np.int64)
+            np.cumsum(gsizes, out=goffs[1:])
+            gblob = (np.concatenate(grams) if grams and gsizes.sum()
+                     else np.empty(0, np.uint64))
         else:
             offs = np.zeros(1, np.int64)
             blob = np.empty(0, np.uint8)
-        ref = ray.put((ids, offs, blob))
+            goffs = np.zeros(1, np.int64)
+            gblob = np.empty(0, np.uint64)
+        ref = ray.put((ids, offs, blob, goffs, gblob))
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
-            ids_s, offs_s, blob_s = ray.get(ref)
+            ids_s, offs_s, blob_s, goffs_s, gblob_s = ray.get(ref)
             na = batch["node_a"].to_numpy(zero_copy_only=False)
             nb_ = batch["node_b"].to_numpy(zero_copy_only=False)
             ia = np.searchsorted(ids_s, na)
             ib = np.searchsorted(ids_s, nb_)
-            ta = [blob_s[offs_s[i]:offs_s[i + 1]].tobytes().decode("utf-8")
-                  for i in ia]
-            tb = [blob_s[offs_s[i]:offs_s[i + 1]].tobytes().decode("utf-8")
-                  for i in ib]
+            keep = []
+            for i in range(len(na)):
+                ga = gblob_s[goffs_s[ia[i]]:goffs_s[ia[i] + 1]]
+                gb = gblob_s[goffs_s[ib[i]]:goffs_s[ib[i] + 1]]
+                if ga.size == 0 or gb.size == 0:
+                    continue
+                if ga.size > gb.size:
+                    ga, gb = gb, ga
+                pos = np.searchsorted(gb, ga)
+                pos[pos == gb.size] = 0
+                if bool((gb[pos] == ga).any()):
+                    keep.append(i)
+            ta = [blob_s[offs_s[ia[i]]:offs_s[ia[i] + 1]].tobytes()
+                  .decode("utf-8") for i in keep]
+            tb = [blob_s[offs_s[ib[i]]:offs_s[ib[i] + 1]].tobytes()
+                  .decode("utf-8") for i in keep]
+            ua = batch["url_a"].take(pa.array(keep, pa.int64())).to_pylist()
+            ub = batch["url_b"].take(pa.array(keep, pa.int64())).to_pylist()
             return _verify_rows(
-                ta, tb,
-                [int(u) for u in batch["url_a"].to_pylist()],
-                [int(u) for u in batch["url_b"].to_pylist()])
+                ta, tb, [int(u) for u in ua], [int(u) for u in ub])
 
         verified = sub.map_batches(verify_broadcast,
                                    batch_format="pyarrow",

@@ -35,8 +35,11 @@ def _documents_as_pages(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _signatures(sf_dir: str, cfg: PipelineConfig):
-    stage = SignatureStage(cfg)
+def _signatures(sf_dir: str, cfg: PipelineConfig, winnow_only: bool = False):
+    # winnow_only: the substring family needs node ids + text + winnow
+    # fps only — skipping the 128-perm minhash / simhash / verify-blob
+    # compute (VERDICT r4 next #6; winnow fps identical between modes)
+    stage = SignatureStage(cfg, winnow_only=winnow_only)
     return _documents_as_pages(sf_dir).map_batches(
         lambda b: stage(b), batch_format="pyarrow",
         batch_size=cfg.batch_size)

@@ -500,10 +500,16 @@ class WinnowExploder:
         keys = (values >> np.uint64(1)).astype(np.int64)
         node = np.repeat(batch["node_id"].to_numpy(zero_copy_only=False),
                          counts)
-        sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
-        sk = sketch_from_minhash(sigs[:, :self.SKETCH_SLOTS])
-        sk_rep = sk.take(pa.array(np.repeat(
-            np.arange(batch.num_rows, dtype=np.int64), counts)))
+        if "minhash" in batch.column_names:
+            sigs = list_col_to_matrix(batch["minhash"], self.cfg.num_perms)
+            sk = sketch_from_minhash(sigs[:, :self.SKETCH_SLOTS])
+            sk_rep = sk.take(pa.array(np.repeat(
+                np.arange(batch.num_rows, dtype=np.int64), counts)))
+        else:
+            # winnow-only signatures (substring family): no sketch —
+            # its only consumer is the est rescue rule, which that
+            # family never enables (_sketch_matrix handles the nulls)
+            sk_rep = pa.nulls(int(counts.sum()), pa.binary())
         cols = {"fp_key": pa.array(keys),
                 "node_id": pa.array(node),
                 "sketch": sk_rep}

@@ -66,9 +66,21 @@ class SignatureStage:
     per process, eridu/etl/compare.py:32-61).
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 winnow_only: bool = False):
+        # winnow_only: compute just node ids + text + winnow span
+        # fingerprints — the standalone substring family's needs.  The
+        # full stage spends most of its wall on the 128-perm minhash
+        # matrix, simhash and the 32-bit verify blobs, none of which
+        # the span candidates or the SA verify consume (VERDICT r4
+        # next #6: substring_cut re-signed the corpus at full cost).
+        # Winnow fps are IDENTICAL between modes (same positional
+        # shingle hashes; gated in tests/test_substring.py).
         self.cfg = cfg or PipelineConfig()
-        self.a, self.b = minhash_params(self.cfg.seed, self.cfg.num_perms)
+        self.winnow_only = winnow_only
+        if not winnow_only:
+            self.a, self.b = minhash_params(self.cfg.seed,
+                                            self.cfg.num_perms)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -82,9 +94,32 @@ class SignatureStage:
         # set, and for the winnowing fingerprints of the substring stage
         positional = [shingle_hashes(t, k=cfg.shingle_k, seed=cfg.seed)
                       for t in norm]
-        sets = [np.unique(p) for p in positional]
         winnows = [_span_fingerprints(t, p, cfg.winnow_window, cfg.seed)
                    for t, p in zip(norm, positional)]
+
+        if self.winnow_only:
+            node_id = _as_i63(hash_strings_u64(urls, seed=cfg.seed))
+            win_sizes = np.array([w.size for w in winnows], dtype=np.int32)
+            win_values = (np.concatenate(winnows)
+                          if winnows and win_sizes.sum()
+                          else np.empty(0, dtype=np.uint64))
+            win_offsets = np.zeros(len(winnows) + 1, dtype=np.int32)
+            np.cumsum(win_sizes, out=win_offsets[1:])
+            # n_shingles here is the POSITIONAL count (full mode: unique
+            # count) — downstream the substring family uses it only as
+            # the > 0 emptiness gate, where the two agree exactly
+            # (both > 0 iff len(normalized text) >= k)
+            n_pos = np.array([p.size for p in positional], dtype=np.int32)
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "node_id": pa.array(node_id),
+                "text": pa.array(texts, pa.string()),
+                "n_shingles": pa.array(n_pos),
+                "winnow": pa.ListArray.from_arrays(
+                    pa.array(win_offsets), pa.array(win_values)),
+            })
+
+        sets = [np.unique(p) for p in positional]
 
         sigs = minhash_signatures_batch(sets, self.a, self.b)  # (n, P) u64
         simh = simhash_batch(sets)  # (n,) u64

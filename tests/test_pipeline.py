@@ -208,6 +208,33 @@ def test_verify_auto_dispatch_honors_budget(corpus):
     assert res.counters.get("verify_strategy") == "reduce"
 
 
+def test_verify_auto_dispatch_boundary(corpus, result):
+    """Exercise the broadcast->reduce auto-dispatch at its exact
+    boundary (VERDICT r4 next #7): with the budget set to the corpus's
+    actual verify-blob upper bound (sum(n_shingles) * 4) auto must take
+    the broadcast path, and at one byte below it the reduce path — with
+    byte-identical labels on both sides of the threshold."""
+    import ray.data as rd
+
+    cfg, pages, _, _ = corpus
+    res, labels, _ = result
+    total = (res.signatures.select_columns(["n_shingles"])
+             .sum("n_shingles") or 0) * 4
+    assert total > 0
+    at = run_dedup(rd.from_arrow(pages),
+                   PipelineConfig(num_partitions=4,
+                                  verify_broadcast_max_bytes=total))
+    below = run_dedup(rd.from_arrow(pages),
+                      PipelineConfig(num_partitions=4,
+                                     verify_broadcast_max_bytes=total - 1))
+    assert at.counters.get("verify_strategy") == "broadcast"
+    assert below.counters.get("verify_strategy") == "reduce"
+    la = at.labels.to_pandas().sort_values("url").reset_index(drop=True)
+    lr = below.labels.to_pandas().sort_values("url").reset_index(drop=True)
+    lb = labels.sort_values("url").reset_index(drop=True)
+    assert la.equals(lb) and lr.equals(lb)
+
+
 def test_driver_and_distributed_label_paths_identical(corpus, result):
     """The broadcast driver-CC label assembly and the distributed
     label-propagation + join path must produce byte-identical labels."""

@@ -212,3 +212,28 @@ def test_substring_span_contract_boundary(tmp_path):
     got = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.span_len)
            for r in spans.itertuples()}
     assert got == {(0, 1): 100}, got
+
+
+def test_winnow_only_signatures_identical():
+    """The winnow-only signature mode (substring family fast path) must
+    emit IDENTICAL winnow fingerprints and node ids to the full stage —
+    span candidates may not shift with the layout optimization."""
+    import pyarrow.parquet as pq2
+
+    from eridu_ray.config import PipelineConfig
+    from eridu_ray.sources.synth import expand_documents_batch
+    from eridu_ray.stages.signatures import SignatureStage
+
+    cfg = PipelineConfig(winnow_window=32)
+    docs = pq2.read_table("/root/testdata/sf0.001/documents.parquet").slice(
+        0, 80)
+    pages = expand_documents_batch(docs, seed=cfg.seed)
+    full = SignatureStage(cfg)(pages)
+    slim = SignatureStage(cfg, winnow_only=True)(pages)
+    assert slim["node_id"].equals(full["node_id"])
+    assert slim["winnow"].equals(full["winnow"])
+    assert slim["text"].equals(full["text"])
+    # the emptiness gate agrees even though the counts differ in kind
+    import pyarrow.compute as pc2
+    assert pc2.equal(pc2.greater(slim["n_shingles"], 0),
+                     pc2.greater(full["n_shingles"], 0)).to_pandas().all()
