@@ -791,13 +791,14 @@ def q_semantic_dedup(sf_dir, broadcast_max_nodes: int | None = None):
             on=("vec_id",), right_on=("node",))
 
         def fill(b: pa.Table) -> pa.Table:
-            v = b["vec_id"].to_numpy(zero_copy_only=False)
-            lab = b["label"].to_numpy(zero_copy_only=False)
-            rep = np.where(pc.is_valid(b["label"]).to_numpy(
-                zero_copy_only=False), lab, v).astype(np.int64)
-            return pa.table({"vec_id": pa.array(v),
-                             "rep_id": pa.array(rep),
-                             "keep": pa.array(rep == v)})
+            # Arrow-side null fill: a numpy round-trip would lift the
+            # nullable int64 labels to float64, corrupting ids above
+            # 2^53 (node ids are 63-bit in the flagship's id space)
+            v = b["vec_id"]
+            rep = pc.cast(pc.if_else(pc.is_valid(b["label"]),
+                                     b["label"], v), pa.int64())
+            return pa.table({"vec_id": v, "rep_id": rep,
+                             "keep": pc.equal(rep, v)})
 
         return joined.map_batches(fill, batch_format="pyarrow")
 
