@@ -237,3 +237,25 @@ def test_winnow_only_signatures_identical():
     import pyarrow.compute as pc2
     assert pc2.equal(pc2.greater(slim["n_shingles"], 0),
                      pc2.greater(full["n_shingles"], 0)).to_pandas().all()
+
+
+def test_substring_reduce_layout_identical(planted_docs):
+    """The reduce layout (forced via verify_broadcast_max_bytes=0) must
+    produce the same spans as the broadcast gate layout — the r5
+    restructure gave the two branches different pair plumbing (raw
+    pairs + gram gate + survivor distinct vs dedup+guard + text
+    attach)."""
+    import dataclasses
+
+    from eridu_ray.pipelines.substring import (_substring_cfg,
+                                               substring_spans)
+
+    sf_dir, _, _ = planted_docs
+    want = substring_spans(sf_dir).to_pandas().sort_values(
+        ["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    cfg_r = dataclasses.replace(_substring_cfg(),
+                                verify_broadcast_max_bytes=0)
+    got = substring_spans(sf_dir, cfg_r).to_pandas().sort_values(
+        ["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert got.equals(want), (len(got), len(want))
