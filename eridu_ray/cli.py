@@ -246,10 +246,17 @@ def dedup(input_path: str, output_dir: str, checkpoint_dir: str | None,
                    "rebuild: O(corpus) full state rebuild")
 @click.option("--scorer/--no-scorer", default=True)
 @click.option("--dup-jaccard", default=0.80, type=float)
+@click.option("--checkpoint-dir", default=None,
+              help="Fold stage-checkpoint dir: a killed fold rerun "
+                   "with the same state/input/config resumes from its "
+                   "last committed stage (byte-identical labels); a "
+                   "changed increment or appended state invalidates "
+                   "the checkpoints automatically")
 @click.option("--num-cpus", default=0, type=int)
 def fold(state_dir: str, input_path: str, output_dir: str,
          update_state: bool, state_update_mode: str, scorer: bool,
-         dup_jaccard: float, num_cpus: int) -> None:
+         dup_jaccard: float, checkpoint_dir: str | None,
+         num_cpus: int) -> None:
     """Fold a batch of NEW pages into a prior dedup state without
     re-verifying the prior corpus against itself; labels over the
     combined corpus are byte-identical to a from-scratch rerun
@@ -266,7 +273,8 @@ def fold(state_dir: str, input_path: str, output_dir: str,
                                                      save_fold_state)
 
         cfg = PipelineConfig(dup_jaccard=dup_jaccard,
-                             use_scorer_edges=scorer)
+                             use_scorer_edges=scorer,
+                             checkpoint_dir=checkpoint_dir)
         prior = load_fold_state(state_dir, cfg)
         res = run_dedup_incremental(rd.read_parquet(input_path), prior,
                                     cfg, state_dir=state_dir)

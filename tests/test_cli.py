@@ -176,6 +176,47 @@ def test_fold_cli_matches_full_dedup(runner, ray_session, tmp_path,
         state, "labels")).num_rows == pages.num_rows
 
 
+def test_fold_cli_checkpoint_resume(runner, ray_session, tmp_path,
+                                    small_corpus):
+    """fold --checkpoint-dir: a rerun of the same fold resumes from the
+    committed stages (verified.resumed counter) with identical labels."""
+    import pandas as pd
+
+    from eridu_ray.kernels.hashing import hash_strings_u64
+
+    pages = pq.read_table(small_corpus["pages"])
+    h = hash_strings_u64(pages["url"].to_pylist(), seed=7)
+    mask = (h % np.uint64(2)).astype(bool)
+    prior_p = str(tmp_path / "prior.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(pages.filter(pa.array(~mask)), prior_p)
+    pq.write_table(pages.filter(pa.array(mask)), new_p)
+
+    state = str(tmp_path / "state")
+    prior_out = str(tmp_path / "prior_labels")
+    assert runner.invoke(cli, ["dedup", "--input", prior_p, "--output",
+                               prior_out, "--save-state", state]
+                         ).exit_code == 0
+    ck = str(tmp_path / "fold_ck")
+    out1 = str(tmp_path / "fold1")
+    res1 = runner.invoke(cli, ["fold", "--state", state, "--input", new_p,
+                               "--output", out1,
+                               "--checkpoint-dir", ck])
+    assert res1.exit_code == 0, res1.output
+    assert os.path.isfile(os.path.join(ck, "verified", "_manifest.json"))
+    out2 = str(tmp_path / "fold2")
+    res2 = runner.invoke(cli, ["fold", "--state", state, "--input", new_p,
+                               "--output", out2,
+                               "--checkpoint-dir", ck])
+    assert res2.exit_code == 0, res2.output
+    assert _last_json(res2.output)["counters"].get("verified.resumed") == 1
+    a = pq.read_table(out1).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    b = pq.read_table(out2).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_encode_cli(runner, ray_session, tmp_path):
     out = str(tmp_path / "emb")
     res = runner.invoke(cli, ["encode", "--sf-dir", "/root/testdata/sf0.001",
